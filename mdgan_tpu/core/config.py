@@ -1,0 +1,143 @@
+"""Configuration dataclasses for mdgan_tpu.
+
+The reference drives everything through a flat argparse CLI layered under bash
+variable files (reference ``src/bootstrap.py:30-51``, ``shared-args.sh``,
+``run-distributed.sh:5-11``).  Here the same knobs are typed dataclasses; the
+CLI (``mdgan_tpu/cli/train.py``) maps flag names 1:1 onto these fields so the
+reference's flag surface (``report/appendix/script_arguments.tex``) is
+preserved.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Adam hyperparameters.
+
+    The reference's run scripts never forward ``beta_1`` from
+    ``shared-args.sh:14`` into python, so every published run used the argparse
+    defaults ``(0.0, 0.999)`` (reference ``src/bootstrap.py:49-50``).  We
+    default to those effective values.
+    """
+
+    lr: float = 2e-4
+    beta_1: float = 0.0
+    beta_2: float = 0.999
+    eps: float = 1e-8  # torch.optim.Adam default
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset selection and partitioning.
+
+    ``iid=True`` splits a seeded random permutation into N contiguous chunks;
+    ``iid=False`` chunks ``arange(size)`` (reference ``src/actors/server.py:46-64``).
+    """
+
+    dataset: str = "CIFAR10"  # registry key: MNIST | CIFAR10 | CelebA | Synthetic*
+    data_dir: str = "data"
+    iid: bool = True
+    # Fallback behaviour when the raw dataset files are absent on disk (this
+    # environment has no network egress): "synthetic" substitutes a
+    # deterministic procedurally-generated dataset with the same shapes;
+    # "error" raises.
+    fallback: str = "synthetic"
+    # Cap on examples loaded (None = full dataset). Useful for tests/benches.
+    max_examples: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout.
+
+    ``num_workers`` is N, the number of discriminators (the reference's
+    ``world_size - 1``).  The ``workers`` array axis is laid out over however
+    many devices participate: with 1 device it is a plain stacked (vmap-style)
+    axis; with up to N devices XLA shards it and inserts ICI collectives.
+    """
+
+    num_workers: int = 8
+    # Number of devices to use (None = all available).
+    num_devices: Optional[int] = None
+    # Mesh axis names: data-parallel replicas x workers. Replica axis is for
+    # scaling batch beyond one chip per worker set (stretch; default 1).
+    replica_axis: str = "replica"
+    worker_axis: str = "workers"
+    num_replicas: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """One MD-GAN (or standalone) training run.
+
+    Field names follow the reference CLI (``src/bootstrap.py:30-51``):
+    ``epochs`` is the number of *rounds* (single-batch steps), ``local_epochs``
+    the number of discriminator steps per round, ``swap_interval`` the round
+    period of the discriminator swap, ``log_interval`` the eval/checkpoint
+    period.
+    """
+
+    batch_size: int = 10
+    epochs: int = 30000
+    local_epochs: int = 1
+    swap_interval: int = 5000
+    log_interval: int = 300
+    seed: int = 1
+    iid: bool = True
+
+    generator_opt: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+    discriminator_opt: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+
+    # --- TPU-native knobs (no reference equivalent) ---
+    # Steps fused into one on-device lax.scan before returning to host.
+    # The host loop clips chunks at swap/log boundaries, so any value is safe.
+    chunk_size: int = 100
+    # Computation dtype for conv/matmul paths ("bfloat16" | "float32").
+    # Params and Adam state are always float32.
+    compute_dtype: str = "bfloat16"
+    # Donate state buffers to the jitted step (in-place updates on device).
+    donate: bool = True
+    # Use Pallas TPU kernels for hot ops where available.
+    use_pallas: bool = True
+    # Swap the discriminator Adam state along with params. The reference swaps
+    # only the state dict (params + BN stats) and leaves each worker's Adam
+    # moments in place (reference ``src/actors/worker.py:253-283``), so parity
+    # default is False.
+    swap_opt_state: bool = False
+
+    # --- evaluation ---
+    n_samples: int = 5          # reference 5-sample FID (``server.py:82``)
+    eval_n_samples: int = 0     # standard-protocol FID sample count (0 = off)
+
+    # --- io ---
+    log_dir: str = "logs"
+    image_dir: str = "saved_images"
+    weights_dir: str = "weights"
+    checkpoint_dir: str = "checkpoints"
+    resume: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """Top-level bundle: what to train, on what data, over what mesh."""
+
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    mode: str = "mdgan"  # "mdgan" | "standalone"
+
+
+def k_batches(num_workers: int) -> int:
+    """Number of distinct fake batches generated per round.
+
+    ``k = max(floor(ln N), 2)`` — reference ``src/actors/server.py:120``.
+    Worker n trains its D on batch ``(n+1) % k`` and produces feedback on
+    batch ``n % k`` (reference ``server.py:238-239``).
+    """
+    import math
+
+    return max(math.floor(math.log(num_workers)), 2) if num_workers > 0 else 2

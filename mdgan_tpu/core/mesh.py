@@ -1,0 +1,69 @@
+"""Device mesh setup and sharding helpers.
+
+The reference's L0 layer is a torch.distributed TCP process group with explicit
+send/recv choreography (reference ``src/bootstrap.py:57-68``,
+``src/actors/server.py:89-100``).  The TPU-native replacement is a
+``jax.sharding.Mesh``: the ``workers`` array axis (leading axis of stacked
+discriminator params / optimizer state / data shards) is laid out over the
+mesh, XLA inserts ICI collectives for the feedback reduction and the swap
+gather, and zero explicit communication code exists anywhere in the engine.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mdgan_tpu.core.config import MeshConfig
+
+
+def make_mesh(cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (replica, workers) mesh.
+
+    The number of devices on the worker axis need not equal ``num_workers``:
+    with fewer devices each device holds a contiguous slab of workers (the
+    stacked axis is simply sharded), and with one device the whole stack is
+    local — same program either way.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = cfg.num_devices or len(devices)
+    devices = list(devices)[:n]
+    n_rep = cfg.num_replicas
+    if n % n_rep != 0:
+        raise ValueError(f"{n} devices not divisible by num_replicas={n_rep}")
+    n_work = n // n_rep
+    # Worker-axis devices must evenly divide the worker count so the stacked
+    # leading axis shards cleanly.
+    if cfg.num_workers % n_work != 0:
+        # Fall back to the largest divisor of num_workers <= n_work.
+        d = n_work
+        while cfg.num_workers % d != 0:
+            d -= 1
+        n_work = d
+    dev_grid = np.asarray(devices[: n_rep * n_work]).reshape(n_rep, n_work)
+    return Mesh(dev_grid, (cfg.replica_axis, cfg.worker_axis))
+
+
+def worker_sharding(mesh: Mesh, cfg: MeshConfig) -> NamedSharding:
+    """Sharding for arrays with a leading ``workers`` axis (stacked D state)."""
+    return NamedSharding(mesh, P(cfg.worker_axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Sharding for fully-replicated arrays (generator params, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_stacked(tree, mesh: Mesh, cfg: MeshConfig):
+    """Place a pytree whose leaves all have a leading ``workers`` axis."""
+    sh = worker_sharding(mesh, cfg)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)

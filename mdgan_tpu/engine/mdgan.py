@@ -1,0 +1,317 @@
+"""The MD-GAN training round as a single SPMD program.
+
+This module is the TPU-native inversion of the reference's entire actor
+runtime (reference ``src/actors/server.py`` + ``src/actors/worker.py``): what
+the reference implements as N+1 processes exchanging tensors over TCP is here
+ONE jitted step over stacked arrays, sharded over a device mesh.
+
+Per round (reference round structure, ``server.py:213-370`` / ``worker.py:157-286``):
+
+ 1. **Generate** — one generator forward over ``k*b`` latents,
+    ``k = max(floor(ln N), 2)`` (``server.py:120, 219-224``), captured as a
+    ``jax.vjp`` so the backward below reuses the linearization.
+ 2. **Distribute** — worker n reads fake batches ``X_g = K[n % k]`` and
+    ``X_d = K[(n+1) % k]`` (``server.py:238-239``).  The reference's isend /
+    irecv of the stacked ``[X_g, X_d]`` tensor (``server.py:229-246``) becomes
+    an array gather; on a mesh XLA turns it into an ICI broadcast.
+ 3. **Local D training** — each worker takes ``local_epochs`` Adam steps of
+    ``BCE(D(real), 1) + BCE(D(X_d), 0)`` on its private shard
+    (``worker.py:192-216``), expressed as a vmapped grad over the stacked
+    discriminator axis inside a ``lax.fori_loop``.
+ 4. **Error feedback** — each worker computes the gradient of
+    ``BCE(D_updated(X_g), 1)`` w.r.t. the *images* ``X_g``
+    (``worker.py:218-233``).  The reference ships these (b, C, H, W) tensors
+    over TCP; here they are cotangents scatter-added onto their source batches
+    and pushed through the generator VJP with the reference's exact
+    ``1/(b*N)`` scaling (``server.py:266-313``) — the N sequential
+    ``autograd.grad(retain_graph=True)`` calls collapse into one batched VJP,
+    and the cross-worker sum becomes a mesh psum inserted by XLA.
+ 5. **Generator Adam step** (``server.py:306-313``).
+
+The discriminator swap (``server.py:315-333`` + ``worker.py:239-284``) is a
+separate tiny jitted function: a permutation gather on the stacked axis
+(= collective permute on a mesh) replacing the reference's TensorDict state
+dict P2P exchange.  Adam state intentionally stays put, as in the reference
+(only ``state_dict`` — params + BN stats — travels).
+
+Steps are fused ``chunk_size`` at a time with ``lax.scan`` so tiny-model rounds
+are not host-dispatch-bound.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+from mdgan_tpu.core import prng
+from mdgan_tpu.core.config import DataConfig, MeshConfig, TrainConfig, k_batches
+from mdgan_tpu.core.registry import DatasetSpec
+from mdgan_tpu.engine import state as state_lib
+from mdgan_tpu.engine.state import MDGANState, NetState
+from mdgan_tpu.ops import losses
+
+
+class MDGANEngine:
+    """Builds and holds the jitted train-chunk / swap / sample programs."""
+
+    def __init__(
+        self,
+        spec: DatasetSpec,
+        train_cfg: TrainConfig,
+        num_workers: int,
+        mesh=None,
+        mesh_cfg: Optional[MeshConfig] = None,
+    ):
+        if num_workers < 1:
+            raise ValueError("need at least one discriminator worker")
+        self.spec = spec
+        self.cfg = train_cfg
+        self.n = num_workers
+        self.k = k_batches(num_workers)
+        self.mesh = mesh
+        self.mesh_cfg = mesh_cfg
+        dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.g_model = spec.make_generator(dtype=dtype)
+        self.d_model = spec.make_discriminator(dtype=dtype)
+        self.g_tx = state_lib.make_optimizer(train_cfg.generator_opt)
+        self.d_tx = state_lib.make_optimizer(train_cfg.discriminator_opt)
+        self._chunk_fns: Dict[int, Callable] = {}
+        self._swap_fn = None
+        self._sample_fns: Dict[int, Callable] = {}
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+
+    def init_state(self, seed: int) -> MDGANState:
+        key = prng.root_key(seed)
+        h, w, c = self.spec.shape
+        b = self.cfg.batch_size
+        z = jnp.zeros((b, self.spec.z_dim), jnp.float32)
+        x = jnp.zeros((b, h, w, c), jnp.float32)
+        g = state_lib.init_net(self.g_model, prng.lane(key, prng.INIT_G), z, self.g_tx)
+        d = state_lib.init_stacked_net(
+            self.d_model, prng.lane(key, prng.INIT_D), x, self.d_tx, self.n
+        )
+        st = MDGANState(g=g, d=d, key=key, step=jnp.int32(0))
+        if self.mesh is not None:
+            st = self.shard_state(st)
+        return st
+
+    def shard_state(self, st: MDGANState) -> MDGANState:
+        from mdgan_tpu.core import mesh as mesh_lib
+
+        d = jax.tree.map(
+            lambda a: jax.device_put(
+                a, mesh_lib.worker_sharding(self.mesh, self.mesh_cfg)
+            )
+            if hasattr(a, "ndim") and a.ndim >= 1 and a.shape[:1] == (self.n,)
+            else jax.device_put(a, mesh_lib.replicated(self.mesh)),
+            st.d,
+        )
+        rest = MDGANState(g=st.g, d=d, key=st.key, step=st.step)
+        rep = mesh_lib.replicated(self.mesh)
+        g = jax.tree.map(lambda a: jax.device_put(a, rep), rest.g)
+        return MDGANState(g=g, d=d, key=jax.device_put(st.key, rep),
+                          step=jax.device_put(st.step, rep))
+
+    def shard_data(self, shards: np.ndarray) -> jax.Array:
+        """Place the (N, S, H, W, C) uint8 shard stack on the mesh."""
+        arr = jnp.asarray(shards)
+        if self.mesh is not None:
+            from mdgan_tpu.core import mesh as mesh_lib
+
+            arr = jax.device_put(arr, mesh_lib.worker_sharding(self.mesh, self.mesh_cfg))
+        return arr
+
+    # ------------------------------------------------------------------
+    # one training round
+    # ------------------------------------------------------------------
+
+    def _step(self, st: MDGANState, data: jax.Array, idx: jax.Array, step_no: jax.Array):
+        """One MD-GAN round on stacked arrays.
+
+        data: (N, S, H, W, C) uint8 — private real shards
+        idx:  (N, b) int32         — this round's per-worker sample indices
+        """
+        cfg, n, k, b = self.cfg, self.n, self.k, self.cfg.batch_size
+        h, w, c = self.spec.shape
+        w_idx = jnp.arange(n)
+        g_assign = w_idx % k          # X_g batch per worker (server.py:238)
+        d_assign = (w_idx + 1) % k    # X_d batch per worker (server.py:239)
+
+        kz = prng.for_step(st.key, prng.LATENT, step_no)
+        kdrop = prng.for_step(st.key, prng.DROPOUT, step_no)
+
+        # (1) generate k*b fakes in ONE forward, capturing the VJP.
+        z = jax.random.normal(kz, (k * b, self.spec.z_dim), jnp.float32)
+
+        def g_forward(params):
+            out, new_stats = state_lib.apply_train(self.g_model, params, st.g.stats, z)
+            return out, new_stats
+
+        (x_all, g_stats_new), g_vjp = jax.vjp(g_forward, st.g.params, has_aux=False)
+        # NB: has_aux path differs across jax versions; returning a tuple primal
+        # and taking its VJP with a zero cotangent on stats is equivalent —
+        # see _zero_like_stats below.
+        x_k = x_all.reshape(k, b, h, w, c)
+
+        # (2) distribute fake batches to workers (pure indexing).
+        x_d = jax.lax.stop_gradient(x_k[d_assign])   # (N, b, h, w, c)
+
+        real = losses.normalize_uint8(
+            jax.vmap(lambda shard, ii: shard[ii])(data, idx)
+        )  # (N, b, h, w, c) float32 in [-1, 1]
+
+        # (3) local discriminator training.
+        def d_loss_fn(params, stats, real_n, fake_n, rng):
+            r1, r2 = jax.random.split(rng)
+            logits_r, stats1 = state_lib.apply_train(self.d_model, params, stats, real_n, r1)
+            logits_f, stats2 = state_lib.apply_train(self.d_model, params, stats1, fake_n, r2)
+            return losses.d_loss(logits_r, logits_f), stats2
+
+        d_vg = jax.vmap(jax.value_and_grad(d_loss_fn, has_aux=True),
+                        in_axes=(0, 0, 0, 0, 0))
+
+        def local_step(l, carry):
+            params, stats, opt, loss_sum = carry
+            rng_l = jax.random.fold_in(kdrop, l)
+            rngs = jax.vmap(lambda ww: jax.random.fold_in(rng_l, ww))(w_idx)
+            (loss, new_stats), grads = d_vg(params, stats, real, x_d, rngs)
+            updates, opt = self.d_tx.update(grads, opt, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_stats, opt, loss_sum + loss
+
+        d_params, d_stats, d_opt, d_loss_sum = jax.lax.fori_loop(
+            0, cfg.local_epochs, local_step,
+            (st.d.params, st.d.stats, st.d.opt, jnp.zeros(n, jnp.float32)),
+        )
+        mean_d_loss = d_loss_sum / cfg.local_epochs  # (N,) — worker.py:215
+
+        # (4) error feedback through the UPDATED discriminators (worker.py:218-233).
+        x_g = x_k[g_assign]  # (N, b, h, w, c) — same images the VJP linearized
+
+        def fb_loss(xg_n, params, stats, rng):
+            logits, _ = state_lib.apply_train(self.d_model, params, stats, xg_n, rng)
+            return losses.g_loss(logits)
+
+        rng_fb = jax.random.fold_in(kdrop, cfg.local_epochs)
+        rngs_fb = jax.vmap(lambda ww: jax.random.fold_in(rng_fb, ww))(w_idx)
+        fb_and_loss = jax.vmap(jax.value_and_grad(fb_loss), in_axes=(0, 0, 0, 0))
+        g_losses, feedback = fb_and_loss(
+            jax.lax.stop_gradient(x_g), d_params, d_stats, rngs_fb
+        )  # feedback: (N, b, h, w, c) = the reference's worker->server payload
+
+        # (5) route feedbacks onto their source batches and run the generator
+        # VJP once with the reference's 1/(b*N) scaling (server.py:266-302).
+        cot = (
+            jnp.zeros((k, b, h, w, c), x_all.dtype)
+            .at[g_assign]
+            .add(feedback)
+            .reshape(k * b, h, w, c)
+        ) * (1.0 / (b * n))
+        g_grad = g_vjp((cot, self._zero_like_stats(g_stats_new)))[0]
+
+        g_updates, g_opt = self.g_tx.update(g_grad, st.g.opt, st.g.params)
+        g_params = optax.apply_updates(st.g.params, g_updates)
+
+        new_state = MDGANState(
+            g=NetState(params=g_params, stats=g_stats_new, opt=g_opt),
+            d=NetState(params=d_params, stats=d_stats, opt=d_opt),
+            key=st.key,
+            step=st.step + 1,
+        )
+        metrics = {
+            "mean_d_loss": mean_d_loss,               # (N,)
+            "g_feedback_loss": g_losses,              # (N,) BCE(D_n(X_g),1)
+            "feedback_norm": jnp.sqrt(jnp.sum(feedback.astype(jnp.float32) ** 2)),
+        }
+        return new_state, metrics
+
+    @staticmethod
+    def _zero_like_stats(stats):
+        return jax.tree.map(jnp.zeros_like, stats)
+
+    # ------------------------------------------------------------------
+    # fused multi-step chunk
+    # ------------------------------------------------------------------
+
+    def chunk_fn(self, num_steps: int) -> Callable:
+        """Jitted scan of `num_steps` rounds. Cached per chunk length."""
+        if num_steps not in self._chunk_fns:
+
+            def run_chunk(st: MDGANState, data: jax.Array, idx_chunk: jax.Array):
+                steps = st.step + jnp.arange(num_steps, dtype=jnp.int32)
+
+                def body(carry, xs):
+                    idx, s = xs
+                    return self._step(carry, data, idx, s)
+
+                return jax.lax.scan(body, st, (idx_chunk, steps))
+
+            self._chunk_fns[num_steps] = jax.jit(
+                run_chunk, donate_argnums=(0,) if self.cfg.donate else ()
+            )
+        return self._chunk_fns[num_steps]
+
+    # ------------------------------------------------------------------
+    # discriminator swap
+    # ------------------------------------------------------------------
+
+    def sample_swap_perm(self, rng: np.random.Generator) -> np.ndarray:
+        """Random non-overlapping pairs -> involutive permutation
+        (server.py:321-332). Requires even N (the reference enforces odd
+        world_size, i.e. even N, at ``bootstrap.py:163-164``)."""
+        if self.n % 2 != 0:
+            raise ValueError("discriminator swap requires an even worker count")
+        pairs = rng.permutation(self.n).reshape(-1, 2)
+        perm = np.arange(self.n)
+        perm[pairs[:, 0]] = pairs[:, 1]
+        perm[pairs[:, 1]] = pairs[:, 0]
+        return perm.astype(np.int32)
+
+    def swap_fn(self) -> Callable:
+        if self._swap_fn is None:
+
+            def swap(st: MDGANState, perm: jax.Array) -> MDGANState:
+                take = lambda a: jnp.take(a, perm, axis=0)
+                d = NetState(
+                    params=jax.tree.map(take, st.d.params),
+                    stats=jax.tree.map(take, st.d.stats),
+                    opt=jax.tree.map(
+                        lambda a: take(a)
+                        if hasattr(a, "ndim") and a.ndim >= 1 and a.shape[:1] == (self.n,)
+                        else a,
+                        st.d.opt,
+                    )
+                    if self.cfg.swap_opt_state
+                    else st.d.opt,
+                )
+                return MDGANState(g=st.g, d=d, key=st.key, step=st.step)
+
+            self._swap_fn = jax.jit(swap, donate_argnums=(0,) if self.cfg.donate else ())
+        return self._swap_fn
+
+    # ------------------------------------------------------------------
+    # sampling / inference (the reference's gen_images path)
+    # ------------------------------------------------------------------
+
+    def sample_fn(self, num: int) -> Callable:
+        """Generate `num` images in train-mode BN (the reference's generator
+        always runs in .train(), including for grids/eval — server.py:219,
+        336-352)."""
+        if num not in self._sample_fns:
+
+            def sample(g: NetState, key: jax.Array) -> jax.Array:
+                z = jax.random.normal(key, (num, self.spec.z_dim), jnp.float32)
+                out, _ = state_lib.apply_train(self.g_model, g.params, g.stats, z)
+                return out
+
+            self._sample_fns[num] = jax.jit(sample)
+        return self._sample_fns[num]

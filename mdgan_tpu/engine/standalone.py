@@ -1,0 +1,137 @@
+"""Single-device DCGAN baseline trainer.
+
+Rebuilds reference ``src/standalone_gan.py:180-273``: per round, one real
+batch and one fake batch are drawn; then ``local_epochs`` inner iterations
+each take a discriminator Adam step (real vs. detached fake) followed by a
+generator Adam step.
+
+Semantics notes (vs. the reference):
+  * The fake batch used for D training is generated ONCE per round from the
+    round-start generator and reused across inner iterations, exactly like the
+    reference's ``fake_images`` tensor (``standalone_gan.py:190-191, 207``).
+  * The generator step recomputes its forward at the *current* generator
+    params.  For ``local_epochs == 1`` (every published reference run,
+    ``shared-args.sh:8``) this is identical to the reference; for
+    ``local_epochs > 1`` the reference would actually crash (double backward
+    through a freed graph), so this is the only well-defined extension.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mdgan_tpu.core import prng
+from mdgan_tpu.core.config import TrainConfig
+from mdgan_tpu.core.registry import DatasetSpec
+from mdgan_tpu.engine import state as state_lib
+from mdgan_tpu.engine.state import NetState, StandaloneState
+from mdgan_tpu.ops import losses
+
+
+class StandaloneEngine:
+    def __init__(self, spec: DatasetSpec, train_cfg: TrainConfig):
+        self.spec = spec
+        self.cfg = train_cfg
+        dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.g_model = spec.make_generator(dtype=dtype)
+        self.d_model = spec.make_discriminator(dtype=dtype)
+        self.g_tx = state_lib.make_optimizer(train_cfg.generator_opt)
+        self.d_tx = state_lib.make_optimizer(train_cfg.discriminator_opt)
+        self._chunk_fns: Dict[int, Callable] = {}
+        self._sample_fns: Dict[int, Callable] = {}
+
+    def init_state(self, seed: int) -> StandaloneState:
+        key = prng.root_key(seed)
+        h, w, c = self.spec.shape
+        b = self.cfg.batch_size
+        z = jnp.zeros((b, self.spec.z_dim), jnp.float32)
+        x = jnp.zeros((b, h, w, c), jnp.float32)
+        g = state_lib.init_net(self.g_model, prng.lane(key, prng.INIT_G), z, self.g_tx)
+        d = state_lib.init_net(self.d_model, prng.lane(key, prng.INIT_D), x, self.d_tx)
+        return StandaloneState(g=g, d=d, key=key, step=jnp.int32(0))
+
+    def _step(self, st: StandaloneState, data: jax.Array, idx: jax.Array, step_no: jax.Array):
+        """One round. data: (num, H, W, C) uint8; idx: (b,) int32."""
+        cfg = self.cfg
+        b = cfg.batch_size
+        kz = prng.for_step(st.key, prng.LATENT, step_no)
+        kdrop = prng.for_step(st.key, prng.DROPOUT, step_no)
+
+        real = losses.normalize_uint8(data[idx])
+        z = jax.random.normal(kz, (b, self.spec.z_dim), jnp.float32)
+
+        # fake batch fixed for the whole round (standalone_gan.py:190-191)
+        fake0, _ = state_lib.apply_train(self.g_model, st.g.params, st.g.stats, z)
+        fake0 = jax.lax.stop_gradient(fake0)
+
+        def d_loss_fn(params, stats, rng):
+            r1, r2 = jax.random.split(rng)
+            logits_r, stats1 = state_lib.apply_train(self.d_model, params, stats, real, r1)
+            logits_f, stats2 = state_lib.apply_train(self.d_model, params, stats1, fake0, r2)
+            return losses.d_loss(logits_r, logits_f), stats2
+
+        def g_loss_fn(g_params, g_stats, d_params, d_stats, rng):
+            fake, g_stats_new = state_lib.apply_train(self.g_model, g_params, g_stats, z)
+            logits, _ = state_lib.apply_train(self.d_model, d_params, d_stats, fake, rng)
+            return losses.g_loss(logits), g_stats_new
+
+        d_vg = jax.value_and_grad(d_loss_fn, has_aux=True)
+        g_vg = jax.value_and_grad(g_loss_fn, has_aux=True)
+
+        def inner(i, carry):
+            g, d, dl_sum, gl_sum = carry
+            rng_i = jax.random.fold_in(kdrop, i)
+            rd, rg = jax.random.split(rng_i)
+            # (1) D step (standalone_gan.py:199-213)
+            (dl, d_stats_new), d_grads = d_vg(d.params, d.stats, rd)
+            d_updates, d_opt = self.d_tx.update(d_grads, d.opt, d.params)
+            d = NetState(params=optax.apply_updates(d.params, d_updates),
+                         stats=d_stats_new, opt=d_opt)
+            # (2) G step against the updated D (standalone_gan.py:215-223)
+            (gl, g_stats_new), g_grads = g_vg(g.params, g.stats, d.params, d.stats, rg)
+            g_updates, g_opt = self.g_tx.update(g_grads, g.opt, g.params)
+            g = NetState(params=optax.apply_updates(g.params, g_updates),
+                         stats=g_stats_new, opt=g_opt)
+            return g, d, dl_sum + dl, gl_sum + gl
+
+        g, d, dl_sum, gl_sum = jax.lax.fori_loop(
+            0, cfg.local_epochs, inner, (st.g, st.d, jnp.float32(0), jnp.float32(0))
+        )
+        new_state = StandaloneState(g=g, d=d, key=st.key, step=st.step + 1)
+        metrics = {
+            "mean_d_loss": dl_sum / cfg.local_epochs,
+            "mean_g_loss": gl_sum / cfg.local_epochs,
+        }
+        return new_state, metrics
+
+    def chunk_fn(self, num_steps: int) -> Callable:
+        if num_steps not in self._chunk_fns:
+
+            def run_chunk(st: StandaloneState, data: jax.Array, idx_chunk: jax.Array):
+                steps = st.step + jnp.arange(num_steps, dtype=jnp.int32)
+
+                def body(carry, xs):
+                    idx, s = xs
+                    return self._step(carry, data, idx, s)
+
+                return jax.lax.scan(body, st, (idx_chunk, steps))
+
+            self._chunk_fns[num_steps] = jax.jit(
+                run_chunk, donate_argnums=(0,) if self.cfg.donate else ()
+            )
+        return self._chunk_fns[num_steps]
+
+    def sample_fn(self, num: int) -> Callable:
+        if num not in self._sample_fns:
+
+            def sample(g: NetState, key: jax.Array) -> jax.Array:
+                z = jax.random.normal(key, (num, self.spec.z_dim), jnp.float32)
+                out, _ = state_lib.apply_train(self.g_model, g.params, g.stats, z)
+                return out
+
+            self._sample_fns[num] = jax.jit(sample)
+        return self._sample_fns[num]

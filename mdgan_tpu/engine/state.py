@@ -1,0 +1,105 @@
+"""Training-state pytrees and model apply helpers.
+
+The reference keeps the generator in the server process and one discriminator
+per worker process (reference ``src/bootstrap.py:70-124``).  Here all state
+lives in one pytree: the generator replicated, the N discriminators *stacked*
+along a leading ``workers`` axis (params, BatchNorm stats, and Adam state all
+carry the axis) that the mesh shards.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax import linen as nn
+
+from mdgan_tpu.core import prng
+
+
+@struct.dataclass
+class NetState:
+    """One network: parameters, BatchNorm batch-stats collection (possibly
+    empty), and optimizer state."""
+
+    params: Any
+    stats: Any
+    opt: Any
+
+
+@struct.dataclass
+class MDGANState:
+    g: NetState          # generator, replicated
+    d: NetState          # discriminators, leaves stacked (N, ...)
+    key: jax.Array       # root PRNG key for the run
+    step: jax.Array      # int32 global round counter
+
+
+@struct.dataclass
+class StandaloneState:
+    g: NetState
+    d: NetState
+    key: jax.Array
+    step: jax.Array
+
+
+def apply_train(model: nn.Module, params, stats, x, rng: Optional[jax.Array] = None):
+    """Train-mode apply: batch-stat BN, live dropout.  Returns (out, new_stats).
+
+    Works uniformly for models with or without BN/dropout collections.
+    """
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    rngs = {"dropout": rng} if rng is not None else None
+    out, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"], rngs=rngs)
+    return out, mutated.get("batch_stats", stats)
+
+
+def apply_eval(model: nn.Module, params, stats, x):
+    """Eval-mode apply: running-average BN, no dropout."""
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    return model.apply(variables, x, train=False)
+
+
+def init_net(model: nn.Module, key: jax.Array, sample_input: jax.Array,
+             tx: optax.GradientTransformation) -> NetState:
+    kp, kd = jax.random.split(key)
+    variables = model.init({"params": kp, "dropout": kd}, sample_input, train=True)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    return NetState(params=params, stats=stats, opt=tx.init(params))
+
+
+def init_stacked_net(model: nn.Module, key: jax.Array, sample_input: jax.Array,
+                     tx: optax.GradientTransformation, n: int) -> NetState:
+    """N independently-initialized replicas stacked on a leading axis.
+
+    Matches the reference where each worker initializes its own discriminator
+    with its own ``seed + rank`` stream (reference ``bootstrap.py:75-76,
+    138-145``).
+
+    Adam state is created by ``tx.init`` on the stacked params, so moment
+    leaves are stacked too while the shared step counter stays scalar —
+    valid because Adam is elementwise.
+    """
+    keys = jax.vmap(lambda w: prng.for_worker(key, w))(jnp.arange(n))
+
+    def one(k):
+        kp, kd = jax.random.split(k)
+        variables = model.init({"params": kp, "dropout": kd}, sample_input, train=True)
+        return variables["params"], variables.get("batch_stats", {})
+
+    params, stats = jax.vmap(one)(keys)
+    return NetState(params=params, stats=stats, opt=tx.init(params))
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    """Adam matching torch.optim.Adam semantics (reference ``server.py:111-113``,
+    ``worker.py:97-99``)."""
+    return optax.adam(cfg.lr, b1=cfg.beta_1, b2=cfg.beta_2, eps=cfg.eps)

@@ -1,0 +1,115 @@
+"""Partitioner / sampler / loader tests.
+
+Partition semantics mirror reference ``src/actors/server.py:46-64``
+(seeded randperm or arange, torch.chunk'd into N pieces).
+"""
+
+import numpy as np
+import pytest
+
+from mdgan_tpu.data import builtin
+from mdgan_tpu.data.partitioner import (
+    shard_data,
+    split_indices,
+    split_indices_equal,
+    torch_chunk_sizes,
+)
+from mdgan_tpu.data.sampler import ShardSampler
+
+
+def test_torch_chunk_sizes_matches_torch():
+    torch = pytest.importorskip("torch")
+    for size, n in [(10, 4), (50000, 8), (50000, 3), (7, 7), (5, 8), (100, 6)]:
+        ours = torch_chunk_sizes(size, n)
+        theirs = [len(c) for c in torch.chunk(torch.arange(size), n)]
+        theirs += [0] * (n - len(theirs))
+        assert ours == theirs, (size, n)
+
+
+def test_split_indices_non_overlapping_cover():
+    parts = split_indices(1000, 4, iid=True, seed=0)
+    allidx = np.concatenate(parts)
+    assert len(allidx) == 1000
+    assert len(np.unique(allidx)) == 1000
+    # IID split is a shuffle, not contiguous
+    assert not np.all(parts[0] == np.arange(len(parts[0])))
+
+
+def test_split_non_iid_contiguous():
+    parts = split_indices(100, 4, iid=False)
+    np.testing.assert_array_equal(parts[0], np.arange(25))
+    np.testing.assert_array_equal(parts[3], np.arange(75, 100))
+
+
+def test_split_equal_shapes_and_determinism():
+    a = split_indices_equal(103, 4, iid=True, seed=1)
+    b = split_indices_equal(103, 4, iid=True, seed=1)
+    assert a.shape == (4, 25)
+    np.testing.assert_array_equal(a, b)
+    assert len(np.unique(a)) == 100  # disjoint
+
+
+def test_shard_data_gathers_rows():
+    data = np.arange(24, dtype=np.uint8).reshape(12, 2)
+    shards, idx = shard_data(data, 3, iid=True, seed=0)
+    assert shards.shape == (3, 4, 2)
+    np.testing.assert_array_equal(shards, data[idx])
+
+
+def test_sampler_without_replacement_epochs():
+    s = ShardSampler(num_workers=2, shard_size=10, batch_size=3, seed=0)
+    idx = s.next_chunk(6)  # 6 steps x 3 = 18 draws; epoch = 3 batches (9 idx), tail dropped
+    assert idx.shape == (6, 2, 3)
+    for w in range(2):
+        first_epoch = idx[:3, w].reshape(-1)
+        assert len(np.unique(first_epoch)) == 9  # no repeats within an epoch
+        second_epoch = idx[3:6, w].reshape(-1)
+        assert len(np.unique(second_epoch)) == 9
+    # workers draw different streams
+    assert not np.array_equal(idx[:, 0], idx[:, 1])
+
+
+def test_sampler_state_roundtrip():
+    s = ShardSampler(2, 10, 3, seed=5)
+    s.next_chunk(4)
+    saved = {k: np.copy(v) if hasattr(v, "copy") else v for k, v in s.state_dict().items()}
+    expect = s.next_chunk(3)
+    s2 = ShardSampler(2, 10, 3, seed=5)
+    s2.load_state_dict(saved)
+    np.testing.assert_array_equal(s2.next_chunk(3), expect)
+
+
+def test_synthetic_deterministic():
+    a, la = builtin.synthesize((32, 32, 3), 64, seed=1)
+    b, lb = builtin.synthesize((32, 32, 3), 64, seed=1)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (64, 32, 32, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(la, lb)
+    c, _ = builtin.synthesize((32, 32, 3), 64, seed=2)
+    assert not np.array_equal(a, c)
+
+
+def test_loaders_fall_back_to_synthetic(tmp_path):
+    data, labels = builtin.load_cifar10(str(tmp_path), max_examples=32)
+    assert data.shape == (32, 32, 32, 3)
+    data, labels = builtin.load_mnist(str(tmp_path), max_examples=16)
+    assert data.shape == (16, 28, 28, 1)
+
+
+def test_loader_reads_real_cifar_format(tmp_path):
+    """Write a CIFAR-10-format pickle batch and confirm it round-trips."""
+    import pickle
+
+    d = tmp_path / "cifar-10-batches-py"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, (10, 3072), dtype=np.uint8)
+    for i in range(1, 6):
+        with open(d / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": raw, b"labels": list(range(10))}, f)
+    data, labels = builtin.load_cifar10(str(tmp_path))
+    assert data.shape == (50, 32, 32, 3)
+    # NCHW -> NHWC transpose correctness
+    np.testing.assert_array_equal(
+        data[0], raw[0].reshape(3, 32, 32).transpose(1, 2, 0)
+    )

@@ -1,0 +1,106 @@
+"""Model shape / init / dtype tests.
+
+Shape contracts follow the reference architectures:
+DCGAN-32 (reference ``src/datasets/CIFAR10.py:76-140``), DCGAN-64
+(``CelebA.py:75-142``), MLP-GAN (``MNIST.py:74-120``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdgan_tpu.models.dcgan32 import DCGANDiscriminator32, DCGANGenerator32
+from mdgan_tpu.models.dcgan64 import DCGANDiscriminator64, DCGANGenerator64
+from mdgan_tpu.models.mlp_gan import MLPDiscriminator, MLPGenerator
+
+
+CASES = [
+    (DCGANGenerator32, DCGANDiscriminator32, (32, 32, 3), 100),
+    (DCGANGenerator64, DCGANDiscriminator64, (64, 64, 3), 100),
+    (MLPGenerator, MLPDiscriminator, (28, 28, 1), 100),
+]
+
+
+@pytest.mark.parametrize("G,D,shape,zdim", CASES)
+def test_shapes(G, D, shape, zdim):
+    b = 4
+    g, d = G(), D()
+    z = jnp.zeros((b, zdim))
+    gv = g.init({"params": jax.random.key(0)}, z, train=True)
+    x, _ = g.apply(gv, z, train=True, mutable=["batch_stats"])
+    assert x.shape == (b, *shape)
+    assert x.dtype == jnp.float32
+    # tanh output range
+    assert float(jnp.max(jnp.abs(x))) <= 1.0
+
+    dv = d.init({"params": jax.random.key(1), "dropout": jax.random.key(2)}, x, train=True)
+    logits, _ = d.apply(dv, x, train=True, mutable=["batch_stats"],
+                        rngs={"dropout": jax.random.key(3)})
+    assert logits.shape == (b,)
+    assert logits.dtype == jnp.float32
+
+
+def test_dcgan_init_statistics():
+    """Conv weights ~ N(0, 0.02), BN scale ~ N(1, 0.02) — reference
+    ``bootstrap.py:17-27``."""
+    g = DCGANGenerator32()
+    gv = g.init({"params": jax.random.key(0)}, jnp.zeros((2, 100)), train=True)
+    conv_stds, bn_means = [], []
+    flat = jax.tree_util.tree_leaves_with_path(gv["params"])
+    for keypath, leaf in flat:
+        name = jax.tree_util.keystr(keypath)
+        if "kernel" in name and leaf.ndim == 4:
+            conv_stds.append(float(jnp.std(leaf)))
+        if "scale" in name:
+            bn_means.append(float(jnp.mean(leaf)))
+    assert conv_stds and bn_means
+    for s in conv_stds:
+        assert 0.015 < s < 0.025, s
+    for m in bn_means:
+        assert 0.9 < m < 1.1, m
+
+
+def test_mlp_linear_init_matches_torch_default():
+    """Linear layers keep torch's default U(±1/sqrt(fan_in)) — the reference's
+    DCGAN init never matches nn.Linear (``bootstrap.py:22-27``)."""
+    g = MLPGenerator()
+    gv = g.init({"params": jax.random.key(0)}, jnp.zeros((2, 100)), train=True)
+    flat = jax.tree_util.tree_leaves_with_path(gv["params"])
+    checked = 0
+    for keypath, leaf in flat:
+        if "kernel" in jax.tree_util.keystr(keypath):
+            fan_in = leaf.shape[0]
+            bound = 1.0 / np.sqrt(fan_in)
+            assert float(jnp.max(jnp.abs(leaf))) <= bound + 1e-6
+            # uniform on [-a, a] has std a/sqrt(3)
+            assert abs(float(jnp.std(leaf)) - bound / np.sqrt(3)) < 0.15 * bound
+            checked += 1
+    assert checked == 4
+
+
+def test_bfloat16_compute_path():
+    g = DCGANGenerator32(dtype=jnp.bfloat16)
+    z = jnp.zeros((2, 100))
+    gv = g.init({"params": jax.random.key(0)}, z, train=True)
+    # params stay f32
+    for leaf in jax.tree_util.tree_leaves(gv["params"]):
+        assert leaf.dtype == jnp.float32
+    x, _ = g.apply(gv, z, train=True, mutable=["batch_stats"])
+    assert x.dtype == jnp.float32  # outputs cast back at the head
+
+
+def test_conv_transpose_shape_parity_with_torch():
+    """Cross-check our SAME/VALID choices against torch.nn.ConvTranspose2d
+    output shapes for the reference's (k, s, p) configurations."""
+    torch = pytest.importorskip("torch")
+    for (kk, s, p, hin) in [(4, 1, 0, 1), (4, 2, 1, 4), (4, 2, 1, 16)]:
+        m = torch.nn.ConvTranspose2d(8, 8, kk, s, p, bias=False)
+        hout = m(torch.zeros(1, 8, hin, hin)).shape[-1]
+        import flax.linen as fnn
+
+        pad = "VALID" if p == 0 else "SAME"
+        layer = fnn.ConvTranspose(8, (kk, kk), strides=(s, s), padding=pad, use_bias=False)
+        v = layer.init(jax.random.key(0), jnp.zeros((1, hin, hin, 8)))
+        out = layer.apply(v, jnp.zeros((1, hin, hin, 8)))
+        assert out.shape[1] == hout, (kk, s, p, hin, out.shape, hout)
