@@ -1,0 +1,87 @@
+"""Log-analysis CLI — the reference's ``src/results/plot_logs.ipynb`` as a command.
+
+Parses the span CSVs written by training, pairs ``start.X``/``end.X`` columns
+into per-op durations (notebook cell 3's ``compute_time_elapsed``), and prints
+per-op mean/median/p95 timing plus round-rate and FID/IS curves.
+
+Usage:
+    python -m mdgan_tpu.cli.analyze logs/mdgan.8.CIFAR10.server.logs.csv
+    python -m mdgan_tpu.cli.analyze --json logs/*.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+from mdgan_tpu.obs import spans as spans_lib
+
+
+def analyze_file(path: Path) -> dict:
+    rows = spans_lib.read_spans(path)
+    durations = spans_lib.span_durations(rows)
+    report = {"file": str(path), "rows": len(rows), "ops": {}}
+    for op, ds in sorted(durations.items()):
+        arr = np.asarray(ds)
+        report["ops"][op] = {
+            "count": int(arr.size),
+            "mean_s": float(arr.mean()),
+            "median_s": float(np.median(arr)),
+            "p95_s": float(np.percentile(arr, 95)),
+            "total_s": float(arr.sum()),
+        }
+    epochs = [r["epoch"] for r in rows if isinstance(r.get("epoch"), float)]
+    spans = [
+        (r.get("start.epoch"), r.get("end.epoch"))
+        for r in rows
+        if isinstance(r.get("start.epoch"), float) and isinstance(r.get("end.epoch"), float)
+    ]
+    if epochs and spans and len(epochs) > 1:
+        total_rounds = max(epochs) - min(epochs) + 1
+        wall = max(e for _, e in spans) - min(s for s, _ in spans)
+        if wall > 0:
+            report["rounds"] = int(total_rounds)
+            report["wall_s"] = float(wall)
+            report["rounds_per_sec"] = float(total_rounds / wall)
+    fids = [(r["epoch"], r["fid"]) for r in rows if isinstance(r.get("fid"), float)]
+    iss = [(r["epoch"], r["is"]) for r in rows if isinstance(r.get("is"), float)]
+    if fids:
+        report["fid_curve"] = fids
+        report["best_fid"] = min(f for _, f in fids)
+    if iss:
+        report["is_curve"] = iss
+        report["best_is"] = max(v for _, v in iss)
+    losses = [r["mean_d_loss"] for r in rows if isinstance(r.get("mean_d_loss"), float)]
+    if losses:
+        report["final_mean_d_loss"] = losses[-1]
+    return report
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("csvs", nargs="+")
+    p.add_argument("--json", action="store_true", help="machine-readable output")
+    args = p.parse_args(argv)
+
+    reports = [analyze_file(Path(c)) for c in args.csvs]
+    if args.json:
+        print(json.dumps(reports, indent=2))
+        return 0
+    for rep in reports:
+        print(f"\n== {rep['file']} ({rep['rows']} rows) ==")
+        if "rounds_per_sec" in rep:
+            print(f"  rounds/sec: {rep['rounds_per_sec']:.3f} "
+                  f"({rep['rounds']} rounds in {rep['wall_s']:.1f}s)")
+        for op, st in rep["ops"].items():
+            print(f"  {op:22s} n={st['count']:6d} mean={st['mean_s']*1e3:9.2f}ms "
+                  f"median={st['median_s']*1e3:9.2f}ms p95={st['p95_s']*1e3:9.2f}ms")
+        if "best_fid" in rep:
+            print(f"  best FID: {rep['best_fid']:.2f}   best IS: {rep.get('best_is', float('nan')):.3f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,111 @@
+"""Training CLI.
+
+Mirrors the reference flag surface (``src/bootstrap.py:30-51`` for distributed,
+``src/standalone_gan.py:58-72`` for standalone; documented in the reference
+report ``appendix/script_arguments.tex``), dropping only the flags that have no
+meaning in the single-SPMD-program world (``--backend``, ``--ranks``,
+``--master_addr/port``, ``--network_interface``) and replacing ``--world_size``
+with ``--num_workers`` (= world_size - 1; the parameter server is not a
+process here).
+
+Usage:
+    python -m mdgan_tpu.cli.train --mode mdgan --dataset CIFAR10 \
+        --num_workers 8 --epochs 30000 --batch_size 10 --swap_interval 5000
+    python -m mdgan_tpu.cli.train --mode standalone --dataset MNIST --epochs 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+from mdgan_tpu.core.config import (
+    DataConfig, MeshConfig, OptimizerConfig, RunConfig, TrainConfig,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--mode", choices=["mdgan", "standalone"], default="mdgan")
+    p.add_argument("--dataset", type=str, default="CIFAR10")
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="number of discriminators N (reference world_size - 1)")
+    p.add_argument("--epochs", type=int, default=30000,
+                   help="training rounds (single-batch steps, reference naming)")
+    p.add_argument("--swap_interval", type=int, default=5000)
+    p.add_argument("--local_epochs", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=10)
+    p.add_argument("--log_interval", type=int, default=300)
+    p.add_argument("--generator_lr", type=float, default=2e-4)
+    p.add_argument("--discriminator_lr", type=float, default=2e-4)
+    p.add_argument("--iid", type=int, default=1)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--beta_1", type=float, default=0.0)
+    p.add_argument("--beta_2", type=float, default=0.999)
+    p.add_argument("--n_samples", type=int, default=5)
+    p.add_argument("--data_dir", type=str, default="data")
+    p.add_argument("--max_examples", type=int, default=None)
+    # TPU-native knobs
+    p.add_argument("--chunk_size", type=int, default=100)
+    p.add_argument("--compute_dtype", choices=["bfloat16", "float32"],
+                   default="bfloat16")
+    p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--log_dir", type=str, default="logs")
+    p.add_argument("--image_dir", type=str, default="saved_images")
+    p.add_argument("--weights_dir", type=str, default="weights")
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> RunConfig:
+    train = TrainConfig(
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        local_epochs=args.local_epochs,
+        swap_interval=args.swap_interval,
+        log_interval=args.log_interval,
+        seed=args.seed,
+        iid=args.iid == 1,
+        generator_opt=OptimizerConfig(lr=args.generator_lr, beta_1=args.beta_1,
+                                      beta_2=args.beta_2),
+        discriminator_opt=OptimizerConfig(lr=args.discriminator_lr,
+                                          beta_1=args.beta_1, beta_2=args.beta_2),
+        chunk_size=args.chunk_size,
+        compute_dtype=args.compute_dtype,
+        use_pallas=not args.no_pallas,
+        n_samples=args.n_samples,
+        log_dir=args.log_dir,
+        image_dir=args.image_dir,
+        weights_dir=args.weights_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
+    )
+    data = DataConfig(dataset=args.dataset, data_dir=args.data_dir,
+                      iid=args.iid == 1, max_examples=args.max_examples)
+    mesh = MeshConfig(num_workers=args.num_workers)
+    return RunConfig(train=train, data=data, mesh=mesh, mode=args.mode)
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(message)s")
+    from mdgan_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    from mdgan_tpu.engine.train_loop import MDGANTrainer, StandaloneTrainer
+
+    trainer = MDGANTrainer(cfg) if cfg.mode == "mdgan" else StandaloneTrainer(cfg)
+    try:
+        summary = trainer.train()
+    finally:
+        trainer.close()
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,102 @@
+"""Frechet Inception Distance and Inception Score.
+
+Rebuilds the reference's evaluation channel (torchmetrics
+``FrechetInceptionDistance(normalize=True)`` / ``InceptionScore(normalize=True,
+splits=1)`` — reference ``src/actors/server.py:20-43``), with two protocols:
+
+  * **reference protocol** — ``n_samples=5`` images, splits=1, matching the
+    reference's logging exactly (``server.py:82, 354-364``).  Statistically
+    meaningless as an absolute quality number (SURVEY.md §5.5) but preserved
+    for log-schema parity.
+  * **standard protocol** — 10k+ samples, splits=10, comparable to literature
+    (the rebuild's superset requirement, BASELINE.md).
+
+Inputs are images in [0, 1] (the reference rescales from [-1, 1] first —
+``server.py:140, 342``); use :func:`mdgan_tpu.ops.losses.denormalize_to_unit`.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from mdgan_tpu.metrics.inception import inception_features
+
+
+def _matrix_sqrt_trace(a: np.ndarray, b: np.ndarray) -> float:
+    """tr(sqrtm(A @ B)) for symmetric PSD A, B, computed stably via
+    eigendecomposition of A^(1/2) B A^(1/2) (no scipy dependency)."""
+    wa, va = np.linalg.eigh(a)
+    wa = np.clip(wa, 0, None)
+    sqrt_a = (va * np.sqrt(wa)) @ va.T
+    m = sqrt_a @ b @ sqrt_a
+    w = np.linalg.eigvalsh((m + m.T) / 2)
+    return float(np.sqrt(np.clip(w, 0, None)).sum())
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
+    diff = mu1 - mu2
+    d = float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+              - 2.0 * _matrix_sqrt_trace(sigma1, sigma2))
+    # the distance is >= 0 by construction; tiny negatives are fp noise
+    return max(d, 0.0)
+
+
+def activation_statistics(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    mu = feats.mean(axis=0)
+    # torchmetrics uses the unbiased estimator; with n==1 fall back to zeros
+    if feats.shape[0] > 1:
+        sigma = np.cov(feats, rowvar=False)
+    else:
+        sigma = np.zeros((feats.shape[1], feats.shape[1]))
+    return mu, sigma
+
+
+def fid_score(real_images: np.ndarray, fake_images: np.ndarray) -> float:
+    """FID between two image sets in [0, 1], NHWC (1 or 3 channels)."""
+    from mdgan_tpu.metrics.inception import calibrate
+
+    calibrate(real_images)
+    rf, _ = inception_features(real_images)
+    ff, _ = inception_features(fake_images)
+    mu_r, s_r = activation_statistics(rf)
+    mu_f, s_f = activation_statistics(ff)
+    return frechet_distance(mu_r, s_r, mu_f, s_f)
+
+
+def inception_score(fake_images: np.ndarray, splits: int = 1) -> Tuple[float, float]:
+    """IS = exp(E_x KL(p(y|x) || p(y))). Returns (mean, std) over splits.
+
+    The reference uses splits=1 (``server.py:41``), so std is 0 there.
+    """
+    _, probs = inception_features(fake_images)
+    n = probs.shape[0]
+    scores = []
+    for i in range(splits):
+        part = probs[i * n // splits : (i + 1) * n // splits]
+        if len(part) == 0:
+            continue
+        py = part.mean(axis=0, keepdims=True)
+        kl = part * (np.log(part + 1e-16) - np.log(py + 1e-16))
+        scores.append(float(np.exp(kl.sum(axis=1).mean())))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+class FIDTracker:
+    """Precomputes real statistics once (the reference keeps one fixed real
+    batch for all evals — ``server.py:128-140``) and scores fakes against it."""
+
+    def __init__(self, real_images: np.ndarray):
+        from mdgan_tpu.metrics.inception import calibrate
+
+        # calibrates the random-init fallback's BN stats on the real images
+        # (no-op with pretrained weights) — see inception.calibrate
+        calibrate(real_images)
+        feats, _ = inception_features(real_images)
+        self.mu_r, self.sigma_r = activation_statistics(feats)
+
+    def score(self, fake_images: np.ndarray) -> float:
+        ff, _ = inception_features(fake_images)
+        mu_f, s_f = activation_statistics(ff)
+        return frechet_distance(self.mu_r, self.sigma_r, mu_f, s_f)

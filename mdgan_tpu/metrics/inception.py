@@ -1,0 +1,308 @@
+"""InceptionV3 feature network in Flax (for FID / Inception Score).
+
+The reference computes FID/IS through torchmetrics' pretrained InceptionV3
+(reference ``src/actors/server.py:20-43``, ``src/standalone_gan.py:32-55``).
+This is a faithful torchvision-layout InceptionV3 (aux-logits-free) producing
+the 2048-d pool features (FID) and class logits (IS).
+
+Pretrained weights cannot be downloaded in this environment (zero egress), so:
+  * if a converted weight file exists (``inception_v3.npz`` with torch
+    state-dict keys, see :func:`load_torch_npz`), it is used and FID numbers
+    are literature-comparable;
+  * otherwise a *deterministic randomly-initialized* network is used.  FID
+    over random CNN features is still a valid, widely-studied distributional
+    distance (it ranks model quality consistently), but its absolute scale is
+    not comparable to published FID values — callers are told which mode they
+    got via :func:`feature_source`.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class BasicConv(nn.Module):
+    """conv(bias=False) + BN(eps=1e-3, frozen stats at inference) + relu.
+
+    ``train=True`` is used only for BN-stat *calibration* of the random-init
+    fallback network (momentum 0 => one pass writes batch stats as the frozen
+    stats); the pretrained path never trains.
+    """
+
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: str | Tuple = "VALID"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, self.kernel, strides=self.strides,
+                    padding=self.padding, use_bias=False, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.0,
+                         epsilon=1e-3, name="bn")(x)
+        return nn.relu(x)
+
+
+def _avgpool3(x):
+    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                       count_include_pad=False)
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b1 = BasicConv(64, (1, 1), name="branch1x1")(x, train)
+        b5 = BasicConv(48, (1, 1), name="branch5x5_1")(x, train)
+        b5 = BasicConv(64, (5, 5), padding=((2, 2), (2, 2)), name="branch5x5_2")(b5, train)
+        b3 = BasicConv(64, (1, 1), name="branch3x3dbl_1")(x, train)
+        b3 = BasicConv(96, (3, 3), padding=((1, 1), (1, 1)), name="branch3x3dbl_2")(b3, train)
+        b3 = BasicConv(96, (3, 3), padding=((1, 1), (1, 1)), name="branch3x3dbl_3")(b3, train)
+        bp = BasicConv(self.pool_features, (1, 1), name="branch_pool")(_avgpool3(x), train)
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class InceptionB(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b3 = BasicConv(384, (3, 3), strides=(2, 2), name="branch3x3")(x, train)
+        bd = BasicConv(64, (1, 1), name="branch3x3dbl_1")(x, train)
+        bd = BasicConv(96, (3, 3), padding=((1, 1), (1, 1)), name="branch3x3dbl_2")(bd, train)
+        bd = BasicConv(96, (3, 3), strides=(2, 2), name="branch3x3dbl_3")(bd, train)
+        bp = nn.max_pool(x, (3, 3), strides=(2, 2))
+        return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+class InceptionC(nn.Module):
+    c7: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c7 = self.c7
+        b1 = BasicConv(192, (1, 1), name="branch1x1")(x, train)
+        b7 = BasicConv(c7, (1, 1), name="branch7x7_1")(x, train)
+        b7 = BasicConv(c7, (1, 7), padding=((0, 0), (3, 3)), name="branch7x7_2")(b7, train)
+        b7 = BasicConv(192, (7, 1), padding=((3, 3), (0, 0)), name="branch7x7_3")(b7, train)
+        bd = BasicConv(c7, (1, 1), name="branch7x7dbl_1")(x, train)
+        bd = BasicConv(c7, (7, 1), padding=((3, 3), (0, 0)), name="branch7x7dbl_2")(bd, train)
+        bd = BasicConv(c7, (1, 7), padding=((0, 0), (3, 3)), name="branch7x7dbl_3")(bd, train)
+        bd = BasicConv(c7, (7, 1), padding=((3, 3), (0, 0)), name="branch7x7dbl_4")(bd, train)
+        bd = BasicConv(192, (1, 7), padding=((0, 0), (3, 3)), name="branch7x7dbl_5")(bd, train)
+        bp = BasicConv(192, (1, 1), name="branch_pool")(_avgpool3(x), train)
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionD(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b3 = BasicConv(192, (1, 1), name="branch3x3_1")(x, train)
+        b3 = BasicConv(320, (3, 3), strides=(2, 2), name="branch3x3_2")(b3, train)
+        b7 = BasicConv(192, (1, 1), name="branch7x7x3_1")(x, train)
+        b7 = BasicConv(192, (1, 7), padding=((0, 0), (3, 3)), name="branch7x7x3_2")(b7, train)
+        b7 = BasicConv(192, (7, 1), padding=((3, 3), (0, 0)), name="branch7x7x3_3")(b7, train)
+        b7 = BasicConv(192, (3, 3), strides=(2, 2), name="branch7x7x3_4")(b7, train)
+        bp = nn.max_pool(x, (3, 3), strides=(2, 2))
+        return jnp.concatenate([b3, b7, bp], axis=-1)
+
+
+class InceptionE(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b1 = BasicConv(320, (1, 1), name="branch1x1")(x, train)
+        b3 = BasicConv(384, (1, 1), name="branch3x3_1")(x, train)
+        b3a = BasicConv(384, (1, 3), padding=((0, 0), (1, 1)), name="branch3x3_2a")(b3, train)
+        b3b = BasicConv(384, (3, 1), padding=((1, 1), (0, 0)), name="branch3x3_2b")(b3, train)
+        b3 = jnp.concatenate([b3a, b3b], axis=-1)
+        bd = BasicConv(448, (1, 1), name="branch3x3dbl_1")(x, train)
+        bd = BasicConv(384, (3, 3), padding=((1, 1), (1, 1)), name="branch3x3dbl_2")(bd, train)
+        bda = BasicConv(384, (1, 3), padding=((0, 0), (1, 1)), name="branch3x3dbl_3a")(bd, train)
+        bdb = BasicConv(384, (3, 1), padding=((1, 1), (0, 0)), name="branch3x3dbl_3b")(bd, train)
+        bd = jnp.concatenate([bda, bdb], axis=-1)
+        bp = BasicConv(192, (1, 1), name="branch_pool")(_avgpool3(x), train)
+        return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+class InceptionV3(nn.Module):
+    """Returns (pool_features[2048], logits[num_classes])."""
+
+    num_classes: int = 1000
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (b, 299, 299, 3) in [-1, 1]
+        x = BasicConv(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3")(x, train)
+        x = BasicConv(32, (3, 3), name="Conv2d_2a_3x3")(x, train)
+        x = BasicConv(64, (3, 3), padding=((1, 1), (1, 1)), name="Conv2d_2b_3x3")(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = BasicConv(80, (1, 1), name="Conv2d_3b_1x1")(x, train)
+        x = BasicConv(192, (3, 3), name="Conv2d_4a_3x3")(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = InceptionA(32, name="Mixed_5b")(x, train)
+        x = InceptionA(64, name="Mixed_5c")(x, train)
+        x = InceptionA(64, name="Mixed_5d")(x, train)
+        x = InceptionB(name="Mixed_6a")(x, train)
+        x = InceptionC(128, name="Mixed_6b")(x, train)
+        x = InceptionC(160, name="Mixed_6c")(x, train)
+        x = InceptionC(160, name="Mixed_6d")(x, train)
+        x = InceptionC(192, name="Mixed_6e")(x, train)
+        x = InceptionD(name="Mixed_7a")(x, train)
+        x = InceptionE(name="Mixed_7b")(x, train)
+        x = InceptionE(name="Mixed_7c")(x, train)
+        feats = jnp.mean(x, axis=(1, 2))  # global average pool -> (b, 2048)
+        logits = nn.Dense(self.num_classes, name="fc")(feats)
+        return feats, logits
+
+
+# ---------------------------------------------------------------------------
+# weights
+# ---------------------------------------------------------------------------
+
+_CACHED = None
+
+
+def feature_source() -> str:
+    """'pretrained' if converted weights were found, else 'random-init'."""
+    get_inception()
+    return _CACHED[2]
+
+
+def load_torch_npz(path: Path, variables) -> dict:
+    """Map a torch inception_v3 state dict (saved as npz) onto our variables.
+
+    torch keys look like ``Mixed_5b.branch1x1.conv.weight`` /
+    ``...bn.{weight,bias,running_mean,running_var}`` / ``fc.{weight,bias}``.
+    Conv weights are OIHW -> HWIO; Dense (out,in) -> (in,out).
+    """
+    import flax
+
+    flat = dict(np.load(path))
+    params = flax.traverse_util.flatten_dict(variables["params"], sep=".")
+    stats = flax.traverse_util.flatten_dict(variables["batch_stats"], sep=".")
+
+    def fetch(torch_key):
+        if torch_key not in flat:
+            raise KeyError(f"missing torch weight {torch_key}")
+        return flat[torch_key]
+
+    new_params, new_stats = {}, {}
+    for key, val in params.items():
+        mod, leaf = key.rsplit(".", 1)
+        if leaf == "kernel" and mod.endswith(".conv"):
+            w = fetch(mod[: -len(".conv")] + ".conv.weight")
+            new_params[key] = np.transpose(w, (2, 3, 1, 0))
+        elif mod == "fc" and leaf == "kernel":
+            new_params[key] = np.transpose(fetch("fc.weight"))
+        elif mod == "fc" and leaf == "bias":
+            new_params[key] = fetch("fc.bias")
+        elif leaf == "scale":
+            new_params[key] = fetch(mod.replace(".bn", "") + ".bn.weight")
+        elif leaf == "bias":
+            new_params[key] = fetch(mod.replace(".bn", "") + ".bn.bias")
+        else:
+            raise KeyError(f"unmapped param {key}")
+        assert new_params[key].shape == val.shape, (key, new_params[key].shape, val.shape)
+    for key, val in stats.items():
+        mod, leaf = key.rsplit(".", 1)
+        torch_leaf = {"mean": "running_mean", "var": "running_var"}[leaf]
+        new_stats[key] = fetch(mod + "." + torch_leaf)
+        assert new_stats[key].shape == val.shape
+    return {
+        "params": flax.traverse_util.unflatten_dict(new_params, sep="."),
+        "batch_stats": flax.traverse_util.unflatten_dict(new_stats, sep="."),
+    }
+
+
+def get_inception(weights_path: Optional[str] = None):
+    """(model, variables, source). Cached after first call."""
+    global _CACHED
+    if _CACHED is not None and weights_path is None:
+        return _CACHED[0], _CACHED[1], _CACHED[2]
+    model = InceptionV3()
+    variables = model.init(jax.random.key(42), jnp.zeros((1, 299, 299, 3)))
+    source = "random-init"
+    candidates = [weights_path] if weights_path else []
+    candidates += ["data/inception_v3.npz", "inception_v3.npz"]
+    for cand in candidates:
+        if cand and Path(cand).exists():
+            variables = load_torch_npz(Path(cand), variables)
+            source = "pretrained"
+            break
+    _CACHED = (model, variables, source)
+    return model, variables, source
+
+
+def calibrate(images01: np.ndarray) -> str:
+    """Calibrate the random-init fallback's BatchNorm statistics.
+
+    A freshly-initialized InceptionV3 in frozen-BN mode has mean-0/var-1
+    running stats everywhere, so deep activations collapse and FID over its
+    features degenerates toward 0.  One train-mode pass with momentum-0 BN
+    writes each layer's *actual* batch statistics (over a representative image
+    set) into the frozen stats, making the random-feature FID discriminative.
+    No-op for pretrained weights.  Returns the feature source in effect.
+    """
+    global _CACHED
+    model, variables, source = get_inception()
+    if source != "random-init":
+        return source
+    x = np.asarray(images01, np.float32)
+    if x.shape[-1] == 1:
+        x = np.repeat(x, 3, axis=-1)
+    x = jax.image.resize(jnp.asarray(x), (x.shape[0], 299, 299, 3), "bilinear")
+    x = x * 2.0 - 1.0
+    _, mutated = model.apply(variables, x, True, mutable=["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": mutated["batch_stats"]}
+    _CACHED = (model, variables, "random-init-calibrated")
+    _RUN_CACHE.clear()
+    return _CACHED[2]
+
+
+_RUN_CACHE: dict = {}
+
+
+def _run_fn():
+    """Jitted extractor, cached so repeated evals never retrace."""
+    if "run" not in _RUN_CACHE:
+        model, variables, _ = get_inception()
+
+        @jax.jit
+        def run(x):
+            if x.shape[-1] == 1:
+                x = jnp.repeat(x, 3, axis=-1)
+            x = jax.image.resize(x, (x.shape[0], 299, 299, 3), "bilinear")
+            x = x * 2.0 - 1.0
+            feats, logits = model.apply(variables, x)
+            return feats, jax.nn.softmax(logits, axis=-1)
+
+        _RUN_CACHE["run"] = run
+    return _RUN_CACHE["run"]
+
+
+def inception_features(images: jax.Array, batch: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+    """Pool features + softmax probs for images in [0, 1], any HxW, 1 or 3 ch.
+
+    Handles the reference's preprocessing: grayscale channel-repeat
+    (``server.py:137-138``), resize to 299, and the inception [-1, 1] scaling.
+    Short batches are zero-padded to the bucket size so only a handful of
+    shapes ever compile.
+    """
+    run = _run_fn()
+    n = images.shape[0]
+    fs, ps = [], []
+    for s in range(0, n, batch):
+        part = images[s : s + batch]
+        take = part.shape[0]
+        if take < batch:
+            pad = np.zeros((batch - take, *part.shape[1:]), part.dtype)
+            part = np.concatenate([np.asarray(part), pad])
+        f, p = run(part)
+        fs.append(np.asarray(f[:take], np.float64))
+        ps.append(np.asarray(p[:take], np.float64))
+    return np.concatenate(fs), np.concatenate(ps)

@@ -1,0 +1,136 @@
+"""Per-operation wall-clock span logging to CSV.
+
+Rebuilds the reference's hand-rolled tracing channel: each actor appends one
+row per round with ``start.<op>`` / ``end.<op>`` timestamp pairs
+(reference ``src/actors/server.py:178-211, 370``; ``worker.py:128-155, 286``;
+op semantics documented in the reference report ``appendix/operations.tex``).
+
+We keep the exact column schema (so the reference's ``plot_logs``-style
+analysis ports over) while noting the semantic shift: ops that were separate
+network phases in the reference (``send_data``, ``recv_data``) are fused into
+the jitted step here, so the trainer logs them as zero-width spans and records
+the real on-device work under ``epoch_calculation``.  For on-device breakdowns
+use ``jax.profiler`` traces (obs/profiling hook in the CLI).
+"""
+
+from __future__ import annotations
+
+import csv
+import time
+from contextlib import contextmanager
+from pathlib import Path
+from typing import Dict, List, Optional
+
+SERVER_OPS = [
+    "epoch", "epoch_calculation", "send_data", "recv_data", "calc_gradients",
+    "agg_gradients", "generate_data", "fid", "is", "swap",
+]
+WORKER_OPS = [
+    "epoch", "calc_gradients", "recv_data", "send", "swap_recv_instruction",
+    "load_state_dict", "swap_recv", "swap_send",
+]
+
+
+def server_row_template(epoch: int, size_data_mb: float, size_feedback_mb: float) -> Dict:
+    """Column layout of the reference server CSV (``server.py:179-208``)."""
+    row = {"epoch": epoch}
+    for op in SERVER_OPS:
+        row[f"start.{op}"] = None
+        row[f"end.{op}"] = None
+    row.update({
+        "fid": None, "is": None,
+        "size.data": size_data_mb, "size.feedback": size_feedback_mb,
+        "swap": False, "size.sent": 0.0, "size.recv": 0.0,
+    })
+    return row
+
+
+def worker_row_template(epoch: int, model_size_mb: float) -> Dict:
+    """Column layout of the reference worker CSV (``worker.py:129-152``)."""
+    row = {"epoch": epoch}
+    for op in WORKER_OPS:
+        row[f"start.{op}"] = None
+        row[f"end.{op}"] = None
+    row.update({
+        "swap_with": None, "mean_d_loss": None,
+        "size.model": model_size_mb, "size.sent": 0.0, "size.recv": 0.0,
+    })
+    return row
+
+
+class SpanLogger:
+    """Appends rows with start./end. span pairs to a CSV file."""
+
+    def __init__(self, path: Path, template: Dict):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._fieldnames = list(template.keys())
+        self._file = open(self.path, "a", encoding="utf-8", newline="")
+        self._writer = csv.DictWriter(self._file, fieldnames=self._fieldnames)
+        if self._file.tell() == 0:
+            self._writer.writeheader()
+        self.row: Optional[Dict] = None
+
+    def begin_row(self, template: Dict) -> None:
+        self.row = dict(template)
+        self.row["start.epoch"] = time.time()
+        if "start.epoch_calculation" in self.row:
+            self.row["start.epoch_calculation"] = time.time()
+
+    @contextmanager
+    def span(self, op: str):
+        assert self.row is not None, "begin_row first"
+        self.row[f"start.{op}"] = time.time()
+        try:
+            yield
+        finally:
+            self.row[f"end.{op}"] = time.time()
+
+    def mark(self, **values) -> None:
+        assert self.row is not None
+        self.row.update(values)
+
+    def end_row(self) -> None:
+        assert self.row is not None
+        if "end.epoch_calculation" in self.row and self.row["end.epoch_calculation"] is None:
+            self.row["end.epoch_calculation"] = time.time()
+        self.row["end.epoch"] = time.time()
+        self._writer.writerow(self.row)
+        self._file.flush()
+        self.row = None
+
+    def close(self) -> None:
+        self._file.close()
+
+
+def read_spans(path: Path) -> List[Dict]:
+    """Parse a span CSV back into rows with float timestamps (the analysis
+    side of the reference's ``plot_logs.ipynb`` cell 3)."""
+    out = []
+    with open(path, encoding="utf-8") as f:
+        for row in csv.DictReader(f):
+            parsed = {}
+            for key, val in row.items():
+                if val in ("", "None", None):
+                    parsed[key] = None
+                else:
+                    try:
+                        parsed[key] = float(val)
+                    except ValueError:
+                        parsed[key] = val
+            out.append(parsed)
+    return out
+
+
+def span_durations(rows: List[Dict]) -> Dict[str, List[float]]:
+    """Pair start.X/end.X into per-op duration lists
+    (= ``compute_time_elapsed`` in the reference notebook)."""
+    durations: Dict[str, List[float]] = {}
+    for row in rows:
+        for key in row:
+            if key.startswith("start."):
+                op = key[len("start."):]
+                s, e = row.get(f"start.{op}"), row.get(f"end.{op}")
+                if isinstance(s, float) and isinstance(e, float):
+                    durations.setdefault(op, []).append(e - s)
+    return durations

@@ -1,0 +1,152 @@
+"""Host train-loop integration tests (CPU, tiny configs).
+
+Inception-based metrics are stubbed here (their math is covered in
+test_metrics.py) so these tests exercise scheduling, logging, checkpointing,
+swap cadence, and artifact layout quickly.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+import mdgan_tpu.metrics.fid as fid_mod
+from mdgan_tpu.cli.train import build_parser, config_from_args
+from mdgan_tpu.engine.train_loop import MDGANTrainer, StandaloneTrainer, _next_event
+from mdgan_tpu.obs import spans as spans_lib
+
+
+@pytest.fixture()
+def stub_inception(monkeypatch):
+    class FakeTracker:
+        def __init__(self, real):
+            self.n = len(real)
+
+        def score(self, fakes):
+            return 123.0
+
+    monkeypatch.setattr(fid_mod, "FIDTracker", FakeTracker)
+    monkeypatch.setattr(fid_mod, "inception_score", lambda imgs, splits=1: (2.0, 0.0))
+
+
+def _cfg(tmp_path, argv):
+    base = [
+        "--dataset", "SyntheticMNIST", "--max_examples", "256",
+        "--compute_dtype", "float32",
+        "--log_dir", str(tmp_path / "logs"),
+        "--image_dir", str(tmp_path / "imgs"),
+        "--weights_dir", str(tmp_path / "weights"),
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+    ]
+    return config_from_args(build_parser().parse_args(base + argv))
+
+
+def test_next_event_schedule():
+    # swap at 40/80, log at 60, end at 119
+    assert _next_event(0, 120, 40, 60, 4) == 0      # eval at round 0
+    assert _next_event(1, 120, 40, 60, 4) == 40
+    assert _next_event(41, 120, 40, 60, 4) == 60
+    assert _next_event(61, 120, 40, 60, 4) == 80
+    assert _next_event(81, 120, 40, 60, 4) == 119
+    # single worker: no swaps
+    assert _next_event(1, 120, 40, 60, 1) == 60
+
+
+def test_mdgan_trainer_end_to_end(tmp_path, stub_inception):
+    cfg = _cfg(tmp_path, [
+        "--mode", "mdgan", "--num_workers", "4", "--epochs", "50",
+        "--batch_size", "4", "--swap_interval", "20", "--log_interval", "25",
+        "--chunk_size", "10",
+    ])
+    trainer = MDGANTrainer(cfg)
+    summary = trainer.train()
+    trainer.close()
+
+    assert summary["rounds"] == 50
+    assert np.isfinite(summary["final_mean_d_loss"])
+    # evals at 0, 25, 49 (end)
+    assert [e["epoch"] for e in summary["evals"]] == [0, 25, 49]
+    assert all(e["fid"] == 123.0 for e in summary["evals"])
+
+    # artifact layout (reference parity)
+    assert (tmp_path / "imgs" / "real_images.png").exists()
+    assert (tmp_path / "imgs" / "generated_epoch_0.png").exists()
+    assert (tmp_path / "weights" / "generator_final.npz").exists()
+    for r in range(1, 5):
+        assert (tmp_path / "weights" / f"worker_{r}" / "discriminator.npz").exists()
+
+    server_rows = spans_lib.read_spans(
+        tmp_path / "logs" / "mdgan.4.SyntheticMNIST.server.logs.csv")
+    assert len(server_rows) >= 4
+    swaps = [r for r in server_rows if r.get("swap") in (True, "True")]
+    assert len(swaps) == 2  # rounds 20 and 40
+    worker_rows = spans_lib.read_spans(
+        tmp_path / "logs" / "mdgan.4.SyntheticMNIST.worker.1.logs.csv")
+    assert all(isinstance(r["mean_d_loss"], float) for r in worker_rows)
+
+
+def test_mdgan_trainer_resume(tmp_path, stub_inception):
+    argv = [
+        "--mode", "mdgan", "--num_workers", "2", "--epochs", "30",
+        "--batch_size", "4", "--swap_interval", "10", "--log_interval", "15",
+        "--chunk_size", "5",
+    ]
+    t1 = MDGANTrainer(_cfg(tmp_path, argv))
+    t1.train()
+    t1.close()
+
+    # full run in one go for comparison
+    t_full = MDGANTrainer(_cfg(tmp_path / "full", argv))
+    t_full.train()
+    import jax
+
+    full_params = jax.device_get(t_full.state.g.params)
+    t_full.close()
+
+    # interrupted run: train to 15 (ckpt), then resume to 30
+    t2 = MDGANTrainer(_cfg(tmp_path / "half", [
+        "--mode", "mdgan", "--num_workers", "2", "--epochs", "16",
+        "--batch_size", "4", "--swap_interval", "10", "--log_interval", "15",
+        "--chunk_size", "5",
+    ]))
+    t2.train()
+    t2.close()
+    t3 = MDGANTrainer(_cfg(tmp_path / "half", argv + ["--resume"]))
+    assert int(t3.state.step) == 16  # resumed at checkpoint of round 15
+    t3.train()
+    resumed_params = jax.device_get(t3.state.g.params)
+    t3.close()
+
+    for la, lb in zip(jax.tree.leaves(full_params), jax.tree.leaves(resumed_params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=0, rtol=0)
+
+
+def test_standalone_trainer(tmp_path, stub_inception):
+    cfg = _cfg(tmp_path, [
+        "--mode", "standalone", "--epochs", "20", "--batch_size", "8",
+        "--log_interval", "10", "--chunk_size", "5",
+    ])
+    trainer = StandaloneTrainer(cfg)
+    summary = trainer.train()
+    trainer.close()
+    assert summary["rounds"] == 20
+    assert np.isfinite(summary["final_mean_g_loss"])
+    assert (tmp_path / "weights" / "netG_epoch_19.npz").exists()
+    assert (tmp_path / "imgs" / "fake_samples_0.png").exists()
+
+
+def test_cli_flag_surface():
+    """Reference CLI flags must exist (``bootstrap.py:30-51``)."""
+    p = build_parser()
+    args = p.parse_args([
+        "--dataset", "CIFAR10", "--epochs", "5", "--swap_interval", "2",
+        "--local_epochs", "3", "--batch_size", "7", "--log_interval", "9",
+        "--generator_lr", "1e-3", "--discriminator_lr", "2e-3",
+        "--iid", "0", "--seed", "42", "--beta_1", "0.5", "--beta_2", "0.9",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.train.epochs == 5
+    assert cfg.train.local_epochs == 3
+    assert not cfg.train.iid
+    assert cfg.train.generator_opt.beta_1 == 0.5
+    assert cfg.train.discriminator_opt.lr == 2e-3
