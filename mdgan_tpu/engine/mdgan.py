@@ -169,12 +169,15 @@ class MDGANEngine:
             jax.vmap(lambda shard, ii: shard[ii])(data, idx)
         )  # (N, b, h, w, c) float32 in [-1, 1]
 
-        # (3) local discriminator training.
+        # (3) local discriminator training.  Real and fake forwards are fused
+        # into one batched pass with exact per-half BN statistics
+        # (state.apply_train_pair; semantics of worker.py:197-203).
         def d_loss_fn(params, stats, real_n, fake_n, rng):
             r1, r2 = jax.random.split(rng)
-            logits_r, stats1 = state_lib.apply_train(self.d_model, params, stats, real_n, r1)
-            logits_f, stats2 = state_lib.apply_train(self.d_model, params, stats1, fake_n, r2)
-            return losses.d_loss(logits_r, logits_f), stats2
+            logits2, stats2 = state_lib.apply_train_pair(
+                self.d_model, params, stats,
+                jnp.stack([real_n, fake_n]), jnp.stack([r1, r2]))
+            return losses.d_loss(logits2[0], logits2[1]), stats2
 
         d_vg = jax.vmap(jax.value_and_grad(d_loss_fn, has_aux=True),
                         in_axes=(0, 0, 0, 0, 0))

@@ -70,9 +70,10 @@ class StandaloneEngine:
 
         def d_loss_fn(params, stats, rng):
             r1, r2 = jax.random.split(rng)
-            logits_r, stats1 = state_lib.apply_train(self.d_model, params, stats, real, r1)
-            logits_f, stats2 = state_lib.apply_train(self.d_model, params, stats1, fake0, r2)
-            return losses.d_loss(logits_r, logits_f), stats2
+            logits2, stats2 = state_lib.apply_train_pair(
+                self.d_model, params, stats,
+                jnp.stack([real, fake0]), jnp.stack([r1, r2]))
+            return losses.d_loss(logits2[0], logits2[1]), stats2
 
         def g_loss_fn(g_params, g_stats, d_params, d_stats, rng):
             fake, g_stats_new = state_lib.apply_train(self.g_model, g_params, g_stats, z)
