@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--beta_1", type=float, default=0.0)
     p.add_argument("--beta_2", type=float, default=0.999)
     p.add_argument("--n_samples", type=int, default=5)
+    p.add_argument("--eval_n_samples", type=int, default=0,
+                   help="standard-protocol FID/IS sample count (0 = off)")
     p.add_argument("--data_dir", type=str, default="data")
     p.add_argument("--max_examples", type=int, default=None)
     # TPU-native knobs
@@ -53,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="bfloat16")
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of the first chunks here")
+    p.add_argument("--host_metrics", type=str, default=None,
+                   help="sample host cpu/mem/net to this CSV (gce_stats analogue)")
     p.add_argument("--log_dir", type=str, default="logs")
     p.add_argument("--image_dir", type=str, default="saved_images")
     p.add_argument("--weights_dir", type=str, default="weights")
@@ -77,6 +83,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         compute_dtype=args.compute_dtype,
         use_pallas=not args.no_pallas,
         n_samples=args.n_samples,
+        eval_n_samples=args.eval_n_samples,
         log_dir=args.log_dir,
         image_dir=args.image_dir,
         weights_dir=args.weights_dir,
@@ -98,11 +105,26 @@ def main(argv=None) -> int:
     cfg = config_from_args(args)
     from mdgan_tpu.engine.train_loop import MDGANTrainer, StandaloneTrainer
 
+    monitor = None
+    if args.host_metrics:
+        from mdgan_tpu.obs.hostmon import HostMonitor
+
+        monitor = HostMonitor(args.host_metrics).start()
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
     trainer = MDGANTrainer(cfg) if cfg.mode == "mdgan" else StandaloneTrainer(cfg)
     try:
         summary = trainer.train()
     finally:
         trainer.close()
+        if args.profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+        if monitor is not None:
+            monitor.stop()
     print(json.dumps(summary))
     return 0
 

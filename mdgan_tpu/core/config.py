@@ -103,6 +103,10 @@ class TrainConfig:
     donate: bool = True
     # Use Pallas TPU kernels for hot ops where available.
     use_pallas: bool = True
+    # Swap implementation: "gather" (take(perm) on the stacked axis; any
+    # worker/device ratio), "ppermute" (point-to-point collective permute;
+    # needs one worker per device), or "auto" (ppermute when eligible).
+    swap_impl: str = "auto"
     # Swap the discriminator Adam state along with params. The reference swaps
     # only the state dict (params + BN stats) and leaves each worker's Adam
     # moments in place (reference ``src/actors/worker.py:253-283``), so parity

@@ -109,12 +109,19 @@ def load_mnist(data_dir: str, split: str = "train", fallback: str = "synthetic",
         n = max_examples or (60000 if split == "train" else 10000)
         data, labels = synthesize((28, 28, 1), n, seed=28)
         return data, labels
-    data = _read_idx(img)[..., None]  # (n, 28, 28, 1)
     lbl = _find(data_dir,
                 f"mnist/{stem}-labels-idx1-ubyte", f"mnist/{stem}-labels-idx1-ubyte.gz",
                 f"mnist/MNIST/raw/{stem}-labels-idx1-ubyte",
                 f"mnist/MNIST/raw/{stem}-labels-idx1-ubyte.gz",
                 f"{stem}-labels-idx1-ubyte", f"{stem}-labels-idx1-ubyte.gz")
+    if img.suffix != ".gz":
+        from mdgan_tpu.data import native
+
+        decoded = native.decode_mnist(img, lbl if lbl and lbl.suffix != ".gz" else None,
+                                      max_examples or 60000)
+        if decoded is not None:
+            return decoded
+    data = _read_idx(img)[..., None]  # (n, 28, 28, 1)
     labels = _read_idx(lbl).astype(np.int64) if lbl else np.zeros(len(data), np.int64)
     if max_examples:
         data, labels = data[:max_examples], labels[:max_examples]
@@ -123,7 +130,16 @@ def load_mnist(data_dir: str, split: str = "train", fallback: str = "synthetic",
 
 def load_cifar10(data_dir: str, split: str = "train", fallback: str = "synthetic",
                  max_examples: Optional[int] = None):
-    """CIFAR-10 from the python pickle batches, else synthetic."""
+    """CIFAR-10: binary format via the native C++ decoder, python pickle
+    batches via numpy, else synthetic."""
+    bin_dir = _find(data_dir, "cifar10/cifar-10-batches-bin", "cifar-10-batches-bin")
+    if bin_dir is not None:
+        from mdgan_tpu.data import native
+
+        cap = max_examples or (50000 if split == "train" else 10000)
+        decoded = native.decode_cifar10_bin(bin_dir, cap, train=split == "train")
+        if decoded is not None:
+            return decoded
     base = _find(data_dir, "cifar10/cifar-10-batches-py", "cifar-10-batches-py")
     if base is None:
         if fallback != "synthetic":
@@ -230,3 +246,35 @@ registry.register(registry.DatasetSpec(
     load=lambda data_dir, split="train", fallback="synthetic", max_examples=None:
         synthesize((28, 28, 1), max_examples or 60000, seed=28),
 ))
+
+
+def load_ffhq128(data_dir: str, split: str = "train", fallback: str = "synthetic",
+                 max_examples: Optional[int] = None):
+    """FFHQ-128 (stretch config): packed npz of (n, 128, 128, 3) uint8 if
+    present, else synthetic."""
+    npz = _find(data_dir, "ffhq/ffhq128.npz", "ffhq128.npz")
+    if npz is not None:
+        with np.load(npz) as z:
+            data = z["images"]
+            labels = z.get("labels", np.zeros(len(data), np.int64))
+        if max_examples:
+            data, labels = data[:max_examples], labels[:max_examples]
+        return data, labels
+    if fallback != "synthetic":
+        raise FileNotFoundError(f"FFHQ-128 files not found under {data_dir}")
+    n = min(max_examples or 20000, 20000)
+    return synthesize((128, 128, 3), n, seed=128)
+
+
+def _register_stylegan():
+    from mdgan_tpu.models import stylegan2
+
+    registry.register(registry.DatasetSpec(
+        name="FFHQ128", shape=stylegan2.SHAPE, z_dim=stylegan2.Z_DIM,
+        make_generator=stylegan2.StyleGAN2Generator,
+        make_discriminator=stylegan2.StyleGAN2Discriminator,
+        load=load_ffhq128,
+    ))
+
+
+_register_stylegan()

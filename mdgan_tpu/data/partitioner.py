@@ -75,4 +75,11 @@ def shard_data(data: np.ndarray, n: int, iid: bool, seed: int = 0) -> Tuple[np.n
     S = len(data) // n; indices is the (n, S) map back into the full dataset.
     """
     idx = split_indices_equal(len(data), n, iid, seed)
-    return data[idx.reshape(-1)].reshape(idx.shape + data.shape[1:]), idx
+    flat = idx.reshape(-1)
+    if data.nbytes >= 64 * 1024 * 1024:  # big datasets: threaded native gather
+        from mdgan_tpu.data import native
+
+        gathered = native.gather_rows(data, flat)
+        if gathered is not None:
+            return gathered.reshape(idx.shape + data.shape[1:]), idx
+    return data[flat].reshape(idx.shape + data.shape[1:]), idx

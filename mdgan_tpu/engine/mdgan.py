@@ -279,6 +279,28 @@ class MDGANEngine:
         perm[pairs[:, 1]] = pairs[:, 0]
         return perm.astype(np.int32)
 
+    def swap(self, st: MDGANState, perm: np.ndarray) -> MDGANState:
+        """Swap dispatch honoring cfg.swap_impl (gather | ppermute | auto)."""
+        impl = self.cfg.swap_impl
+        eligible = (
+            self.mesh is not None
+            and self.mesh_cfg is not None
+            and self.mesh.shape[self.mesh_cfg.worker_axis] == self.n
+        )
+        if impl == "ppermute" or (impl == "auto" and eligible):
+            from mdgan_tpu.parallel.swap import swap_ppermute
+
+            axis = self.mesh_cfg.worker_axis
+            d = NetState(
+                params=swap_ppermute(st.d.params, perm, self.mesh, axis),
+                stats=swap_ppermute(st.d.stats, perm, self.mesh, axis)
+                if jax.tree.leaves(st.d.stats) else st.d.stats,
+                opt=swap_ppermute(st.d.opt, perm, self.mesh, axis)
+                if self.cfg.swap_opt_state else st.d.opt,
+            )
+            return MDGANState(g=st.g, d=d, key=st.key, step=st.step)
+        return self.swap_fn()(st, jnp.asarray(perm))
+
     def swap_fn(self) -> Callable:
         if self._swap_fn is None:
 

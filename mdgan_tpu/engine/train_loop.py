@@ -107,6 +107,7 @@ class MDGANTrainer:
 
         self.ckpt = ckpt_lib.CheckpointManager(Path(tc.checkpoint_dir) / name)
         self._fid_tracker = None
+        self._fid_std_tracker = None
         self._eval_history: List[Dict] = []
         if tc.resume and self.ckpt.latest_step() is not None:
             self._resume()
@@ -155,13 +156,46 @@ class MDGANTrainer:
             fid = self._fid_tracker.score(fakes01[:n_eval])
         self.logger.mark(fid=fid, **{"is": is_mean})
 
+        result = {"epoch": epoch, "fid": fid, "is": is_mean}
+        if tc.eval_n_samples > 0:
+            result.update(self._evaluate_standard(epoch))
+            self.logger.mark(fid_standard=result["fid_standard"],
+                             is_standard=result["is_standard"])
         ckpt_lib.save_weights_only(
             Path(tc.weights_dir) / f"generator_{epoch}.npz",
             self.state.g.params, self.state.g.stats)
-        result = {"epoch": epoch, "fid": fid, "is": is_mean}
         self._eval_history.append(result)
         log.info("eval @ %d: fid=%.2f is=%.3f", epoch, fid, is_mean)
         return result
+
+    def _evaluate_standard(self, epoch: int) -> Dict:
+        """Standard-protocol FID/IS: eval_n_samples fakes vs eval_n_samples
+        reals, IS over 10 splits — comparable to literature (BASELINE.md), as
+        opposed to the reference's 5-sample logging."""
+        from mdgan_tpu.metrics import fid as fid_lib
+
+        tc = self.cfg.train
+        n = tc.eval_n_samples
+        if self._fid_std_tracker is None:
+            rng = np.random.default_rng(1)
+            idx = rng.choice(len(self.full_data), min(n, len(self.full_data)),
+                             replace=False)
+            self._fid_std_tracker = fid_lib.FIDTracker(
+                self.full_data[idx].astype(np.float32) / 255.0)
+        batch = 256
+        fakes = []
+        key = prng.for_step(self.state.key, prng.EVAL, jnp.int32(epoch))
+        for i in range(0, n, batch):
+            num = min(batch, n - i)
+            out = self.engine.sample_fn(num)(self.state.g, jax.random.fold_in(key, i))
+            fakes.append(np.asarray(losses.denormalize_to_unit(out)))
+        fakes01 = np.concatenate(fakes)
+        fid_std = self._fid_std_tracker.score(fakes01)
+        is_std, is_std_dev = fid_lib.inception_score(fakes01, splits=10)
+        log.info("standard eval @ %d (n=%d): fid=%.2f is=%.3f±%.3f",
+                 epoch, n, fid_std, is_std, is_std_dev)
+        return {"fid_standard": fid_std, "is_standard": is_std,
+                "is_standard_std": is_std_dev}
 
     # ------------------------------------------------------------------
 
@@ -195,7 +229,7 @@ class MDGANTrainer:
             if self.n > 1 and tc.swap_interval > 0 and e > 0 and e % tc.swap_interval == 0:
                 with self.logger.span("swap"):
                     perm = self.engine.sample_swap_perm(self.swap_rng)
-                    self.state = self.engine.swap_fn()(self.state, jnp.asarray(perm))
+                    self.state = self.engine.swap(self.state, perm)
                 self.logger.mark(swap=True)
                 swapped_with = perm
 

@@ -255,9 +255,13 @@ def calibrate(images01: np.ndarray) -> str:
     x = np.asarray(images01, np.float32)
     if x.shape[-1] == 1:
         x = np.repeat(x, 3, axis=-1)
-    x = jax.image.resize(jnp.asarray(x), (x.shape[0], 299, 299, 3), "bilinear")
-    x = x * 2.0 - 1.0
-    _, mutated = model.apply(variables, x, True, mutable=["batch_stats"])
+    @jax.jit
+    def _calibrate(variables, x):
+        x = jax.image.resize(x, (x.shape[0], 299, 299, 3), "bilinear")
+        x = x * 2.0 - 1.0
+        return model.apply(variables, x, True, mutable=["batch_stats"])[1]
+
+    mutated = _calibrate(variables, jnp.asarray(x))
     variables = {"params": variables["params"], "batch_stats": mutated["batch_stats"]}
     _CACHED = (model, variables, "random-init-calibrated")
     _RUN_CACHE.clear()

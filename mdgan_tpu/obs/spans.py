@@ -41,6 +41,8 @@ def server_row_template(epoch: int, size_data_mb: float, size_feedback_mb: float
         "fid": None, "is": None,
         "size.data": size_data_mb, "size.feedback": size_feedback_mb,
         "swap": False, "size.sent": 0.0, "size.recv": 0.0,
+        # standard-protocol metrics (rebuild superset; absent in the reference)
+        "fid_standard": None, "is_standard": None,
     })
     return row
 

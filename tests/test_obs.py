@@ -84,3 +84,18 @@ def test_grayscale_png(tmp_path):
     path = tmp_path / "gray.png"
     images_lib.save_image_grid(imgs, path, nrow=2)
     assert path.exists()
+
+
+def test_host_monitor_samples(tmp_path):
+    import time
+
+    from mdgan_tpu.obs.hostmon import HostMonitor
+
+    path = tmp_path / "host.csv"
+    mon = HostMonitor(path, period_s=0.2).start()
+    time.sleep(0.9)
+    mon.stop()
+    rows = list(__import__("csv").DictReader(open(path)))
+    assert len(rows) >= 2
+    assert 0.0 <= float(rows[-1]["cpu_percent"]) <= 100.0
+    assert float(rows[-1]["mem_total_mb"]) > 100

@@ -1,0 +1,74 @@
+"""Explicit-collective swap tests (shard_map + ppermute vs gather)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdgan_tpu.core import mesh as mesh_lib
+from mdgan_tpu.core.config import MeshConfig, TrainConfig
+from mdgan_tpu.core.registry import get as get_spec
+from mdgan_tpu.engine.mdgan import MDGANEngine
+from mdgan_tpu.parallel.swap import swap_ppermute
+
+
+def test_ppermute_swap_matches_gather(eight_devices):
+    n = 8
+    mcfg = MeshConfig(num_workers=n)
+    mesh = mesh_lib.make_mesh(mcfg)
+    cfg = TrainConfig(batch_size=2, compute_dtype="float32", donate=False)
+    eng = MDGANEngine(get_spec("SyntheticMNIST"), cfg, num_workers=n,
+                      mesh=mesh, mesh_cfg=mcfg)
+    st = eng.init_state(seed=0)
+    perm = eng.sample_swap_perm(np.random.default_rng(0))
+
+    got = swap_ppermute(st.d.params, perm, mesh, mcfg.worker_axis)
+    want = jax.tree.map(lambda a: jnp.take(a, jnp.asarray(perm), axis=0), st.d.params)
+    for la, lb in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_engine_swap_dispatch_auto(eight_devices):
+    """cfg.swap_impl=auto must pick ppermute when workers == axis devices and
+    produce the same result as the gather path."""
+    n = 8
+    mcfg = MeshConfig(num_workers=n)
+    mesh = mesh_lib.make_mesh(mcfg)
+    cfg = TrainConfig(batch_size=2, compute_dtype="float32", donate=False,
+                      swap_impl="auto")
+    eng = MDGANEngine(get_spec("SyntheticMNIST"), cfg, num_workers=n,
+                      mesh=mesh, mesh_cfg=mcfg)
+    st = eng.init_state(seed=1)
+    perm = eng.sample_swap_perm(np.random.default_rng(1))
+
+    st_auto = eng.swap(st, perm)
+    st_gather = eng.swap_fn()(st, jnp.asarray(perm))
+    for la, lb in zip(jax.tree.leaves(st_auto.d.params),
+                      jax.tree.leaves(st_gather.d.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    # opt state untouched in both
+    for la, lb in zip(jax.tree.leaves(st_auto.d.opt), jax.tree.leaves(st.d.opt)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_ppermute_rejects_non_involution(eight_devices):
+    n = 8
+    mcfg = MeshConfig(num_workers=n)
+    mesh = mesh_lib.make_mesh(mcfg)
+    cfg = TrainConfig(batch_size=2, compute_dtype="float32")
+    eng = MDGANEngine(get_spec("SyntheticMNIST"), cfg, num_workers=n,
+                      mesh=mesh, mesh_cfg=mcfg)
+    st = eng.init_state(seed=0)
+    cycle = np.roll(np.arange(n), 1)  # rotation, not a pairing
+    with pytest.raises(ValueError):
+        swap_ppermute(st.d.params, cycle, mesh, mcfg.worker_axis)
+
+
+def test_ppermute_rejects_mismatched_axis(eight_devices):
+    mcfg = MeshConfig(num_workers=4)  # 4 workers but try on wrong-size claim
+    mesh = mesh_lib.make_mesh(MeshConfig(num_workers=8))
+    cfg = TrainConfig(batch_size=2, compute_dtype="float32")
+    eng = MDGANEngine(get_spec("SyntheticMNIST"), cfg, num_workers=4)
+    st = eng.init_state(seed=0)
+    with pytest.raises(ValueError):
+        swap_ppermute(st.d.params, np.array([1, 0, 3, 2]), mesh, "workers")
