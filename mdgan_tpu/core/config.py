@@ -103,6 +103,15 @@ class TrainConfig:
     donate: bool = True
     # Use Pallas TPU kernels for hot ops where available.
     use_pallas: bool = True
+    # Pallas fused-Adam kernel (ops/adam.py). Default off: measured slightly
+    # slower than XLA's fused optimizer on v5e for these model sizes (per-leaf
+    # kernel-call overhead dominates); kept as an opt-in for larger models.
+    fused_adam: bool = False
+    # Pallas fused DMA-gather+normalize sampling (ops/sampling.py). Stores
+    # shards pre-tiled; measured ~3% faster than the XLA gather on v5e for
+    # CIFAR-shape rows. Default off for layout simplicity; rows must be
+    # 128-byte aligned (MNIST's 784 falls back automatically).
+    pallas_sampling: bool = False
     # Swap implementation: "gather" (take(perm) on the stacked axis; any
     # worker/device ratio), "ppermute" (point-to-point collective permute;
     # needs one worker per device), or "auto" (ppermute when eligible).

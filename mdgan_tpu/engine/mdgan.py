@@ -81,6 +81,18 @@ class MDGANEngine:
         self.d_model = spec.make_discriminator(dtype=dtype)
         self.g_tx = state_lib.make_optimizer(train_cfg.generator_opt)
         self.d_tx = state_lib.make_optimizer(train_cfg.discriminator_opt)
+        # Pallas fused Adam on single-device runs (a pallas_call is not
+        # auto-partitioned under a sharded mesh; multi-chip keeps optax).
+        fused_ok = train_cfg.fused_adam and (
+            mesh is None or int(np.prod(list(mesh.shape.values()))) == 1)
+        self.g_fused = state_lib.make_fused_adam(train_cfg.generator_opt) if fused_ok else None
+        self.d_fused = state_lib.make_fused_adam(train_cfg.discriminator_opt) if fused_ok else None
+        h, w, c = spec.shape
+        single_dev = mesh is None or int(np.prod(list(mesh.shape.values()))) == 1
+        # Pallas fused gather+normalize sampling (ops/sampling.py, opt-in):
+        # rows must be 128-byte aligned; multi-device keeps the XLA gather.
+        self._pallas_sampling = (train_cfg.pallas_sampling and single_dev
+                                 and (h * w * c) % 128 == 0)
         self._chunk_fns: Dict[int, Callable] = {}
         self._swap_fn = None
         self._sample_fns: Dict[int, Callable] = {}
@@ -122,7 +134,14 @@ class MDGANEngine:
                           step=jax.device_put(st.step, rep))
 
     def shard_data(self, shards: np.ndarray) -> jax.Array:
-        """Place the (N, S, H, W, C) uint8 shard stack on the mesh."""
+        """Place the (N, S, H, W, C) uint8 shard stack on the mesh.
+
+        With pallas sampling enabled, the stack is stored pre-tiled in the
+        DMA-friendly (N, S, row//128, 128) view (one-time relayout)."""
+        if self._pallas_sampling:
+            from mdgan_tpu.ops.sampling import pretile_shards
+
+            return pretile_shards(shards, self.spec.shape)
         arr = jnp.asarray(shards)
         if self.mesh is not None:
             from mdgan_tpu.core import mesh as mesh_lib
@@ -165,9 +184,15 @@ class MDGANEngine:
         # (2) distribute fake batches to workers (pure indexing).
         x_d = jax.lax.stop_gradient(x_k[d_assign])   # (N, b, h, w, c)
 
-        real = losses.normalize_uint8(
-            jax.vmap(lambda shard, ii: shard[ii])(data, idx)
-        )  # (N, b, h, w, c) float32 in [-1, 1]
+        if self._pallas_sampling:
+            from mdgan_tpu.ops.sampling import sample_normalize
+
+            # data arrives pre-tiled (shard_data); fused DMA gather + normalize
+            real = sample_normalize(data, idx).reshape(n, b, h, w, c)
+        else:
+            real = losses.normalize_uint8(
+                jax.vmap(lambda shard, ii: shard[ii])(data, idx)
+            )  # (N, b, h, w, c) float32 in [-1, 1]
 
         # (3) local discriminator training.  Real and fake forwards are fused
         # into one batched pass with exact per-half BN statistics
@@ -187,8 +212,8 @@ class MDGANEngine:
             rng_l = jax.random.fold_in(kdrop, l)
             rngs = jax.vmap(lambda ww: jax.random.fold_in(rng_l, ww))(w_idx)
             (loss, new_stats), grads = d_vg(params, stats, real, x_d, rngs)
-            updates, opt = self.d_tx.update(grads, opt, params)
-            params = optax.apply_updates(params, updates)
+            params, opt = state_lib.optimizer_step(
+                self.d_tx, self.d_fused, grads, opt, params)
             return params, new_stats, opt, loss_sum + loss
 
         d_params, d_stats, d_opt, d_loss_sum = jax.lax.fori_loop(
@@ -221,8 +246,8 @@ class MDGANEngine:
         ) * (1.0 / (b * n))
         g_grad = g_vjp((cot, self._zero_like_stats(g_stats_new)))[0]
 
-        g_updates, g_opt = self.g_tx.update(g_grad, st.g.opt, st.g.params)
-        g_params = optax.apply_updates(st.g.params, g_updates)
+        g_params, g_opt = state_lib.optimizer_step(
+            self.g_tx, self.g_fused, g_grad, st.g.opt, st.g.params)
 
         new_state = MDGANState(
             g=NetState(params=g_params, stats=g_stats_new, opt=g_opt),

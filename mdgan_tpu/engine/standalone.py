@@ -41,6 +41,10 @@ class StandaloneEngine:
         self.d_model = spec.make_discriminator(dtype=dtype)
         self.g_tx = state_lib.make_optimizer(train_cfg.generator_opt)
         self.d_tx = state_lib.make_optimizer(train_cfg.discriminator_opt)
+        self.g_fused = (state_lib.make_fused_adam(train_cfg.generator_opt)
+                        if train_cfg.fused_adam else None)
+        self.d_fused = (state_lib.make_fused_adam(train_cfg.discriminator_opt)
+                        if train_cfg.fused_adam else None)
         self._chunk_fns: Dict[int, Callable] = {}
         self._sample_fns: Dict[int, Callable] = {}
 
@@ -89,14 +93,14 @@ class StandaloneEngine:
             rd, rg = jax.random.split(rng_i)
             # (1) D step (standalone_gan.py:199-213)
             (dl, d_stats_new), d_grads = d_vg(d.params, d.stats, rd)
-            d_updates, d_opt = self.d_tx.update(d_grads, d.opt, d.params)
-            d = NetState(params=optax.apply_updates(d.params, d_updates),
-                         stats=d_stats_new, opt=d_opt)
+            d_params_new, d_opt = state_lib.optimizer_step(
+                self.d_tx, self.d_fused, d_grads, d.opt, d.params)
+            d = NetState(params=d_params_new, stats=d_stats_new, opt=d_opt)
             # (2) G step against the updated D (standalone_gan.py:215-223)
             (gl, g_stats_new), g_grads = g_vg(g.params, g.stats, d.params, d.stats, rg)
-            g_updates, g_opt = self.g_tx.update(g_grads, g.opt, g.params)
-            g = NetState(params=optax.apply_updates(g.params, g_updates),
-                         stats=g_stats_new, opt=g_opt)
+            g_params_new, g_opt = state_lib.optimizer_step(
+                self.g_tx, self.g_fused, g_grads, g.opt, g.params)
+            g = NetState(params=g_params_new, stats=g_stats_new, opt=g_opt)
             return g, d, dl_sum + dl, gl_sum + gl
 
         g, d, dl_sum, gl_sum = jax.lax.fori_loop(

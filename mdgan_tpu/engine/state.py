@@ -134,3 +134,18 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
     """Adam matching torch.optim.Adam semantics (reference ``server.py:111-113``,
     ``worker.py:97-99``)."""
     return optax.adam(cfg.lr, b1=cfg.beta_1, b2=cfg.beta_2, eps=cfg.eps)
+
+
+def make_fused_adam(cfg):
+    """Pallas fused-Adam twin of :func:`make_optimizer` (ops/adam.py)."""
+    from mdgan_tpu.ops.adam import FusedAdam
+
+    return FusedAdam(lr=cfg.lr, b1=cfg.beta_1, b2=cfg.beta_2, eps=cfg.eps)
+
+
+def optimizer_step(tx, fused, grads, opt, params):
+    """One Adam step via the Pallas fused kernel (fused is not None) or optax."""
+    if fused is not None:
+        return fused.update_in_place(grads, opt, params)
+    updates, opt = tx.update(grads, opt, params)
+    return optax.apply_updates(params, updates), opt
