@@ -89,6 +89,29 @@ class MDGANEngine:
         self.d_fused = state_lib.make_fused_adam(train_cfg.discriminator_opt) if fused_ok else None
         h, w, c = spec.shape
         single_dev = mesh is None or int(np.prod(list(mesh.shape.values()))) == 1
+        # sharding-constraint helper: annotates batch-carrying intermediates so
+        # XLA splits batch work over the replica axis (data parallelism) and
+        # worker-stacked tensors over the workers axis. No-op off-mesh.
+        if mesh is not None and mesh_cfg is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep_ax = mesh_cfg.replica_axis if mesh.shape.get(
+                mesh_cfg.replica_axis, 1) > 1 else None
+            wrk_ax = mesh_cfg.worker_axis
+
+            def _constrain(x, kind):
+                if kind == "worker_batch":      # (N, b, ...)
+                    spec_ = P(wrk_ax, rep_ax)
+                elif kind == "global_batch":    # (k*b, ...)
+                    spec_ = P(rep_ax)
+                else:
+                    spec_ = P()
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec_))
+
+            self._constrain = _constrain
+        else:
+            self._constrain = lambda x, kind: x
         # Pallas fused gather+normalize sampling (ops/sampling.py, opt-in):
         # rows must be 128-byte aligned; multi-device keeps the XLA gather.
         self._pallas_sampling = (train_cfg.pallas_sampling and single_dev
@@ -175,14 +198,20 @@ class MDGANEngine:
             out, new_stats = state_lib.apply_train(self.g_model, params, st.g.stats, z)
             return out, new_stats
 
-        (x_all, g_stats_new), g_vjp = jax.vjp(g_forward, st.g.params, has_aux=False)
+        def g_forward_sharded(params):
+            out, new_stats = g_forward(params)
+            return self._constrain(out, "global_batch"), new_stats
+
+        (x_all, g_stats_new), g_vjp = jax.vjp(g_forward_sharded, st.g.params,
+                                              has_aux=False)
         # NB: has_aux path differs across jax versions; returning a tuple primal
         # and taking its VJP with a zero cotangent on stats is equivalent —
         # see _zero_like_stats below.
         x_k = x_all.reshape(k, b, h, w, c)
 
         # (2) distribute fake batches to workers (pure indexing).
-        x_d = jax.lax.stop_gradient(x_k[d_assign])   # (N, b, h, w, c)
+        x_d = self._constrain(
+            jax.lax.stop_gradient(x_k[d_assign]), "worker_batch")  # (N, b, h, w, c)
 
         if self._pallas_sampling:
             from mdgan_tpu.ops.sampling import sample_normalize
@@ -193,6 +222,7 @@ class MDGANEngine:
             real = losses.normalize_uint8(
                 jax.vmap(lambda shard, ii: shard[ii])(data, idx)
             )  # (N, b, h, w, c) float32 in [-1, 1]
+        real = self._constrain(real, "worker_batch")
 
         # (3) local discriminator training.  Real and fake forwards are fused
         # into one batched pass with exact per-half BN statistics
@@ -223,7 +253,8 @@ class MDGANEngine:
         mean_d_loss = d_loss_sum / cfg.local_epochs  # (N,) — worker.py:215
 
         # (4) error feedback through the UPDATED discriminators (worker.py:218-233).
-        x_g = x_k[g_assign]  # (N, b, h, w, c) — same images the VJP linearized
+        x_g = self._constrain(x_k[g_assign], "worker_batch")
+        # (N, b, h, w, c) — same images the VJP linearized
 
         def fb_loss(xg_n, params, stats, rng):
             logits, _ = state_lib.apply_train(self.d_model, params, stats, xg_n, rng)

@@ -72,3 +72,36 @@ def test_ppermute_rejects_mismatched_axis(eight_devices):
     st = eng.init_state(seed=0)
     with pytest.raises(ValueError):
         swap_ppermute(st.d.params, np.array([1, 0, 3, 2]), mesh, "workers")
+
+
+def test_replica_axis_matches_single_device(eight_devices):
+    """(replica=2, workers=4) mesh with N=8 workers (2 per device) must match
+    single-device numerics — validates the data-parallel batch sharding."""
+    from mdgan_tpu.data.partitioner import shard_data
+    from mdgan_tpu.data.sampler import ShardSampler
+    from mdgan_tpu.core.registry import get as get_spec
+
+    n, b = 8, 4
+    spec = get_spec("SyntheticMNIST")
+    cfg = TrainConfig(batch_size=b, chunk_size=2, compute_dtype="float32",
+                      donate=False)
+    data, _ = spec.load("data", max_examples=128)
+    shards_np, _ = shard_data(data, n, iid=True, seed=0)
+    sampler = ShardSampler(n, shards_np.shape[1], b, seed=0)
+    idx = sampler.next_chunk(2)
+
+    eng1 = MDGANEngine(spec, cfg, num_workers=n)
+    st1 = eng1.init_state(seed=5)
+    out1, m1 = eng1.chunk_fn(2)(st1, jnp.asarray(shards_np), jnp.asarray(idx))
+
+    mcfg = MeshConfig(num_workers=n, num_replicas=2)
+    mesh = mesh_lib.make_mesh(mcfg)
+    assert dict(mesh.shape) == {"replica": 2, "workers": 4}
+    eng2 = MDGANEngine(spec, cfg, num_workers=n, mesh=mesh, mesh_cfg=mcfg)
+    st2 = eng2.init_state(seed=5)
+    out2, m2 = eng2.chunk_fn(2)(st2, eng2.shard_data(shards_np), jnp.asarray(idx))
+
+    for la, lb in zip(jax.tree.leaves(out1.g.params), jax.tree.leaves(out2.g.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1["mean_d_loss"]),
+                               np.asarray(m2["mean_d_loss"]), rtol=1e-5, atol=1e-6)
