@@ -1,12 +1,13 @@
-"""Benchmark: MD-GAN CIFAR-10 rounds/sec, 8 discriminators, reference config.
+"""Benchmark: MD-GAN rounds/sec on TPU.
 
-Prints ONE JSON line:
+Default (no args) prints ONE JSON line for the headline config — MD-GAN
+CIFAR-10 with 8 discriminators at the reference's published hyperparameters
+(batch 10, local_epochs 1, ``shared-args.sh``):
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Config matches the reference's published runs (CIFAR-10 DCGAN, batch 10,
-local_epochs 1 — reference ``shared-args.sh``): one "step" is one full MD-GAN
-round (generate k batches, 8 discriminator updates on private shards,
-error-feedback VJP aggregation, generator Adam step).
+One "step" is one full MD-GAN round: generate k fake batches, N discriminator
+Adam updates on private shards, error-feedback VJP aggregation, generator Adam
+step.
 
 Baseline: the reference's best measured round rate, 7.63 steps/s — its
 2-worker all-local CPU smoke run (median 0.131 s/round, computed from the
@@ -14,20 +15,30 @@ committed ``src/logs/mdgan.2.CIFAR10.server.logs.csv``; BASELINE.md).  Its
 multi-machine runs are slower (3.6 steps/s at 20 workers, 1.4 at 40), so this
 is the most conservative comparison available, taken at a HIGHER worker count
 (8 vs 2).
+
+``python bench.py --config all`` additionally times the other BASELINE.json
+configs (MNIST 4-worker, CelebA-64 16-worker, FFHQ-128 StyleGAN2 8-worker,
+standalone MNIST), one JSON line each.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 REFERENCE_STEPS_PER_SEC = 7.63  # 2-worker reference, best published rate
 
+# name -> (dataset, workers, batch, chunk, timed_chunks, max_examples)
+CONFIGS = {
+    "headline": ("CIFAR10", 8, 10, 500, 6, 50000),
+    "mnist4": ("MNIST", 4, 10, 500, 6, 60000),
+    "celeba16": ("CelebA", 16, 10, 200, 4, 32000),
+    "ffhq128_stylegan": ("FFHQ128", 8, 4, 20, 3, 4000),
+}
 
-def main() -> None:
-    from mdgan_tpu.utils.compilation_cache import enable_compilation_cache
 
-    enable_compilation_cache()
+def bench_mdgan(name: str) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -38,23 +49,21 @@ def main() -> None:
     from mdgan_tpu.data.sampler import ShardSampler
     from mdgan_tpu.engine.mdgan import MDGANEngine
 
-    n_workers = 8
-    chunk = 500
-    cfg = TrainConfig(batch_size=10, local_epochs=1, chunk_size=chunk,
+    dataset, n_workers, batch, chunk, n_chunks, max_ex = CONFIGS[name]
+    cfg = TrainConfig(batch_size=batch, local_epochs=1, chunk_size=chunk,
                       compute_dtype="bfloat16")
-    spec = get_spec("CIFAR10")  # falls back to synthetic pixels; compute is identical
-    data, _ = spec.load("data", max_examples=50000)
+    spec = get_spec(dataset)  # falls back to synthetic pixels; compute identical
+    data, _ = spec.load("data", max_examples=max_ex)
     shards_np, _ = shard_data(data, n_workers, iid=True, seed=0)
 
     eng = MDGANEngine(spec, cfg, num_workers=n_workers)
     st = eng.init_state(seed=1)
     shards = eng.shard_data(shards_np)
-    sampler = ShardSampler(n_workers, shards_np.shape[1], cfg.batch_size, seed=0)
+    sampler = ShardSampler(n_workers, shards_np.shape[1], batch, seed=0)
     run = eng.chunk_fn(chunk)
 
     # Pre-generate sample indices so host-side sampling stays out of the
     # timed region (in production it overlaps with device compute).
-    n_chunks = 6
     idxs = [jnp.asarray(sampler.next_chunk(chunk)) for _ in range(n_chunks + 1)]
 
     # warmup / compile.  NB: sync via device_get of an output, not
@@ -63,7 +72,6 @@ def main() -> None:
     st, metrics = run(st, shards, idxs[0])
     np.asarray(metrics["mean_d_loss"])
 
-    # timed
     t0 = time.perf_counter()
     for i in range(1, n_chunks + 1):
         st, metrics = run(st, shards, idxs[i])
@@ -72,23 +80,83 @@ def main() -> None:
 
     steps = n_chunks * chunk
     steps_per_sec = steps / dt
-    images_per_sec = steps_per_sec * cfg.batch_size * n_workers  # real images consumed
     assert np.isfinite(np.asarray(metrics["mean_d_loss"])).all()
-
-    print(json.dumps({
-        "metric": "mdgan_cifar10_8worker_steps_per_sec",
+    out = {
+        "metric": f"mdgan_{dataset.lower()}_{n_workers}worker_steps_per_sec",
         "value": round(steps_per_sec, 2),
         "unit": "rounds/s",
-        "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
-        "baseline_steps_per_sec": REFERENCE_STEPS_PER_SEC,
-        "baseline_source": "reference 2-worker local run, median 0.131 s/round (BASELINE.md)",
-        "images_per_sec_per_chip": round(images_per_sec / jax.device_count(), 1),
-        "batch_size": cfg.batch_size,
+        "images_per_sec_per_chip": round(
+            steps_per_sec * batch * n_workers / jax.device_count(), 1),
+        "batch_size": batch,
         "num_workers": n_workers,
         "device": str(jax.devices()[0]),
         "steps_timed": steps,
         "wall_s": round(dt, 3),
-    }))
+    }
+    if name == "headline":
+        out.update({
+            "metric": "mdgan_cifar10_8worker_steps_per_sec",
+            "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
+            "baseline_steps_per_sec": REFERENCE_STEPS_PER_SEC,
+            "baseline_source": "reference 2-worker local run, median 0.131 s/round (BASELINE.md)",
+        })
+    return out
+
+
+def bench_standalone() -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mdgan_tpu.core.config import TrainConfig
+    from mdgan_tpu.core.registry import get as get_spec
+    from mdgan_tpu.data.sampler import ShardSampler
+    from mdgan_tpu.engine.standalone import StandaloneEngine
+
+    chunk, n_chunks, batch = 500, 6, 128
+    cfg = TrainConfig(batch_size=batch, local_epochs=1, chunk_size=chunk,
+                      compute_dtype="bfloat16")
+    spec = get_spec("MNIST")
+    data, _ = spec.load("data", max_examples=60000)
+    eng = StandaloneEngine(spec, cfg)
+    st = eng.init_state(seed=1)
+    arr = jnp.asarray(data)
+    sampler = ShardSampler(1, len(data), batch, seed=0)
+    run = eng.chunk_fn(chunk)
+    idxs = [jnp.asarray(sampler.next_chunk(chunk)[:, 0, :]) for _ in range(n_chunks + 1)]
+    st, metrics = run(st, arr, idxs[0])
+    np.asarray(metrics["mean_d_loss"])
+    t0 = time.perf_counter()
+    for i in range(1, n_chunks + 1):
+        st, metrics = run(st, arr, idxs[i])
+    np.asarray(metrics["mean_d_loss"])
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "standalone_mnist_steps_per_sec",
+        "value": round(n_chunks * chunk / dt, 2),
+        "unit": "rounds/s",
+        "batch_size": batch,
+        "device": str(jax.devices()[0]),
+        "wall_s": round(dt, 3),
+    }
+
+
+def main() -> None:
+    from mdgan_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="headline",
+                   choices=list(CONFIGS) + ["standalone", "all"])
+    args = p.parse_args()
+    if args.config == "all":
+        for name in CONFIGS:
+            print(json.dumps(bench_mdgan(name)))
+        print(json.dumps(bench_standalone()))
+    elif args.config == "standalone":
+        print(json.dumps(bench_standalone()))
+    else:
+        print(json.dumps(bench_mdgan(args.config)))
 
 
 if __name__ == "__main__":

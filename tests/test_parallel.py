@@ -105,3 +105,50 @@ def test_replica_axis_matches_single_device(eight_devices):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(m1["mean_d_loss"]),
                                np.asarray(m2["mean_d_loss"]), rtol=1e-5, atol=1e-6)
+
+
+def test_shard_map_step_matches_engine(eight_devices):
+    """The explicit shard_map + psum formulation must reproduce the engine's
+    compiler-sharded step exactly (the BASELINE north-star shape)."""
+    from mdgan_tpu.data.partitioner import shard_data
+    from mdgan_tpu.data.sampler import ShardSampler
+    from mdgan_tpu.parallel.shard_map_step import make_shard_map_step
+
+    n, b = 8, 4
+    spec = get_spec("SyntheticMNIST")
+    cfg = TrainConfig(batch_size=b, chunk_size=1, compute_dtype="float32",
+                      donate=False)
+    mcfg = MeshConfig(num_workers=n)
+    mesh = mesh_lib.make_mesh(mcfg)
+    eng = MDGANEngine(spec, cfg, num_workers=n, mesh=mesh, mesh_cfg=mcfg)
+    data, _ = spec.load("data", max_examples=128)
+    shards_np, _ = shard_data(data, n, iid=True, seed=0)
+    shards = eng.shard_data(shards_np)
+    sampler = ShardSampler(n, shards_np.shape[1], b, seed=0)
+    idx = jnp.asarray(sampler.next_chunk(2))
+
+    st0 = eng.init_state(seed=9)
+
+    # engine path, 2 rounds
+    st_eng, m_eng = eng.chunk_fn(2)(st0, shards, idx)
+
+    # explicit shard_map path, 2 rounds
+    step = make_shard_map_step(eng)
+    st_sm = eng.init_state(seed=9)
+    metrics = []
+    for r in range(2):
+        st_sm, m = step(st_sm, shards, idx[r], jnp.int32(r))
+        metrics.append(m)
+
+    # reduction orders differ (psum vs scatter-add) -> tiny fp noise
+    for la, lb in zip(jax.tree.leaves(st_eng.g.params),
+                      jax.tree.leaves(st_sm.g.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-4, atol=3e-5)
+    for la, lb in zip(jax.tree.leaves(st_eng.d.params),
+                      jax.tree.leaves(st_sm.d.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(m_eng["mean_d_loss"][-1]),
+                               np.asarray(metrics[-1]["mean_d_loss"]),
+                               rtol=1e-5, atol=1e-6)
