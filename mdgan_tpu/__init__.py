@@ -28,3 +28,27 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience exports (kept lazy so `import mdgan_tpu` stays cheap)."""
+    lazy = {
+        "TrainConfig": "mdgan_tpu.core.config",
+        "DataConfig": "mdgan_tpu.core.config",
+        "MeshConfig": "mdgan_tpu.core.config",
+        "RunConfig": "mdgan_tpu.core.config",
+        "MDGANEngine": "mdgan_tpu.engine.mdgan",
+        "StandaloneEngine": "mdgan_tpu.engine.standalone",
+        "MDGANTrainer": "mdgan_tpu.engine.train_loop",
+        "StandaloneTrainer": "mdgan_tpu.engine.train_loop",
+        "get_dataset": "mdgan_tpu.core.registry",
+    }
+    if name == "get_dataset":
+        from mdgan_tpu.core.registry import get
+
+        return get
+    if name in lazy:
+        import importlib
+
+        return getattr(importlib.import_module(lazy[name]), name)
+    raise AttributeError(name)

@@ -60,13 +60,80 @@ def analyze_file(path: Path) -> dict:
     return report
 
 
+def plot_file(path: Path, out_dir: Path) -> None:
+    """Render the reference notebook's figure kinds: per-op mean-duration
+    bars, per-round duration series, loss curve, FID/IS curves
+    (plot_logs.ipynb cells 14-24)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = spans_lib.read_spans(path)
+    durations = spans_lib.span_durations(rows)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    stem = path.stem.replace(".logs", "")
+
+    ops = [(op, np.mean(ds)) for op, ds in sorted(durations.items()) if ds]
+    if ops:
+        fig, ax = plt.subplots(figsize=(8, 4))
+        ax.barh([o for o, _ in ops], [d * 1e3 for _, d in ops])
+        ax.set_xlabel("mean duration (ms)")
+        ax.set_title(f"{stem}: per-operation mean time")
+        fig.tight_layout()
+        fig.savefig(out_dir / f"{stem}.ops.png", dpi=120)
+        plt.close(fig)
+
+    epochs = [r["epoch"] for r in rows if isinstance(r.get("epoch"), float)]
+    if "epoch" in durations and epochs:
+        fig, ax = plt.subplots(figsize=(8, 3))
+        ax.plot(epochs[: len(durations["epoch"])], durations["epoch"])
+        ax.set_xlabel("round")
+        ax.set_ylabel("row duration (s)")
+        ax.set_title(f"{stem}: duration per logged row")
+        fig.tight_layout()
+        fig.savefig(out_dir / f"{stem}.epoch_time.png", dpi=120)
+        plt.close(fig)
+
+    losses = [(r["epoch"], r["mean_d_loss"]) for r in rows
+              if isinstance(r.get("mean_d_loss"), float)]
+    if losses:
+        fig, ax = plt.subplots(figsize=(8, 3))
+        ax.plot(*zip(*losses))
+        ax.set_xlabel("round")
+        ax.set_ylabel("mean D loss")
+        ax.set_title(f"{stem}: discriminator loss")
+        fig.tight_layout()
+        fig.savefig(out_dir / f"{stem}.d_loss.png", dpi=120)
+        plt.close(fig)
+
+    for metric in ("fid", "is", "fid_standard", "is_standard"):
+        pts = [(r["epoch"], r[metric]) for r in rows
+               if isinstance(r.get(metric), float)]
+        if pts:
+            fig, ax = plt.subplots(figsize=(8, 3))
+            ax.plot(*zip(*pts), marker="o")
+            ax.set_xlabel("round")
+            ax.set_ylabel(metric)
+            ax.set_title(f"{stem}: {metric}")
+            fig.tight_layout()
+            fig.savefig(out_dir / f"{stem}.{metric}.png", dpi=120)
+            plt.close(fig)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("csvs", nargs="+")
     p.add_argument("--json", action="store_true", help="machine-readable output")
+    p.add_argument("--plot", type=str, default=None, metavar="DIR",
+                   help="write per-op / loss / FID figure PNGs here "
+                        "(the reference plot_logs.ipynb figures)")
     args = p.parse_args(argv)
 
     reports = [analyze_file(Path(c)) for c in args.csvs]
+    if args.plot:
+        for c in args.csvs:
+            plot_file(Path(c), Path(args.plot))
     if args.json:
         print(json.dumps(reports, indent=2))
         return 0

@@ -104,6 +104,9 @@ def main(argv=None) -> int:
     from mdgan_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    from mdgan_tpu.core.distributed import maybe_initialize
+
+    maybe_initialize()  # no-op on single host
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     from mdgan_tpu.engine.train_loop import MDGANTrainer, StandaloneTrainer

@@ -28,6 +28,10 @@ class OptimizerConfig:
     beta_1: float = 0.0
     beta_2: float = 0.999
     eps: float = 1e-8  # torch.optim.Adam default
+    # dtype for the first Adam moment ("float32" | "bfloat16"). bfloat16
+    # halves mu HBM traffic (the step is Adam-bandwidth-bound at small batch,
+    # REPORT.md §2) at a small numerics cost; parity default is float32.
+    mu_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

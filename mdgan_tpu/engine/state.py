@@ -133,7 +133,9 @@ def init_stacked_net(model: nn.Module, key: jax.Array, sample_input: jax.Array,
 def make_optimizer(cfg) -> optax.GradientTransformation:
     """Adam matching torch.optim.Adam semantics (reference ``server.py:111-113``,
     ``worker.py:97-99``)."""
-    return optax.adam(cfg.lr, b1=cfg.beta_1, b2=cfg.beta_2, eps=cfg.eps)
+    mu_dtype = jnp.bfloat16 if getattr(cfg, "mu_dtype", "float32") == "bfloat16" else None
+    return optax.adam(cfg.lr, b1=cfg.beta_1, b2=cfg.beta_2, eps=cfg.eps,
+                      mu_dtype=mu_dtype)
 
 
 def make_fused_adam(cfg):

@@ -240,14 +240,19 @@ class MDGANTrainer:
                                host_rng_state=ckpt_lib.host_rng_state(self.swap_rng))
             self.logger.end_row()
 
+            # one worker-CSV row per ROUND (reference worker.py:286 writes per
+            # round); spans are chunk-level since rounds fuse on device.
             d_losses = np.asarray(chunk_metrics["mean_d_loss"])  # (clen, N)
             for r in range(self.n):
                 wl = self._worker_logs[r]
-                wl.begin_row(spans_lib.worker_row_template(
-                    e, self._worker_row_template["size.model"]))
-                wl.mark(mean_d_loss=float(d_losses[-1, r]),
-                        swap_with=None if swapped_with is None else int(swapped_with[r]) + 1)
-                wl.end_row()
+                for t in range(d_losses.shape[0]):
+                    round_no = e - d_losses.shape[0] + 1 + t
+                    wl.begin_row(spans_lib.worker_row_template(
+                        round_no, self._worker_row_template["size.model"]))
+                    wl.mark(mean_d_loss=float(d_losses[t, r]),
+                            swap_with=None if (swapped_with is None or round_no != e)
+                            else int(swapped_with[r]) + 1)
+                    wl.end_row()
 
         # final weights exports (reference server.py:372-375, worker.py:289-293)
         ckpt_lib.save_weights_only(Path(tc.weights_dir) / "generator_final.npz",

@@ -113,3 +113,40 @@ def test_loader_reads_real_cifar_format(tmp_path):
     np.testing.assert_array_equal(
         data[0], raw[0].reshape(3, 32, 32).transpose(1, 2, 0)
     )
+
+
+def test_celeba_jpg_folder_loader(tmp_path):
+    """CelebA jpg path: center-crop + resize to 64 (reference CelebA.py:29-35)."""
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    d = tmp_path / "img_align_celeba"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        # non-square source (178x218 like real CelebA)
+        arr = rng.integers(0, 256, (218, 178, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"{i:06d}.jpg")
+    data, labels = builtin.load_celeba(str(tmp_path))
+    assert data.shape == (4, 64, 64, 3)
+    assert data.dtype == np.uint8
+    # content is real (not all-zero) and distinct across files
+    assert data.std() > 10
+    assert not np.array_equal(data[0], data[1])
+
+
+def test_mu_dtype_bf16_option():
+    """bfloat16 first-moment option changes only the mu dtype."""
+    import jax
+    import jax.numpy as jnp
+
+    from mdgan_tpu.core.config import OptimizerConfig
+    from mdgan_tpu.engine.state import make_optimizer
+
+    params = {"w": jnp.zeros((8, 8))}
+    tx = make_optimizer(OptimizerConfig(mu_dtype="bfloat16"))
+    st = tx.init(params)
+    assert st[0].mu["w"].dtype == jnp.bfloat16
+    assert st[0].nu["w"].dtype == jnp.float32
+    tx32 = make_optimizer(OptimizerConfig())
+    assert tx32.init(params)[0].mu["w"].dtype == jnp.float32
