@@ -20,7 +20,6 @@ import re
 from pathlib import Path
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from mdgan_tpu.core.registry import get as get_spec

@@ -11,7 +11,7 @@ contract is an explicit registry entry; third-party datasets register via
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -16,8 +16,6 @@ tiny and checkpointable.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import numpy as np
 
 

@@ -40,8 +40,7 @@ are not host-dispatch-bound.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +49,7 @@ import optax
 from flax import linen as nn
 
 from mdgan_tpu.core import prng
-from mdgan_tpu.core.config import DataConfig, MeshConfig, TrainConfig, k_batches
+from mdgan_tpu.core.config import MeshConfig, TrainConfig, k_batches
 from mdgan_tpu.core.registry import DatasetSpec
 from mdgan_tpu.engine import state as state_lib
 from mdgan_tpu.engine.state import MDGANState, NetState

@@ -22,7 +22,6 @@ from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from mdgan_tpu.core import prng
 from mdgan_tpu.core.config import TrainConfig

@@ -9,7 +9,7 @@ carry the axis) that the mesh shards.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ from __future__ import annotations
 import logging
 import time
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +33,7 @@ import numpy as np
 
 from mdgan_tpu.core import mesh as mesh_lib
 from mdgan_tpu.core import prng
-from mdgan_tpu.core.config import RunConfig, k_batches
+from mdgan_tpu.core.config import RunConfig
 from mdgan_tpu.core.registry import get as get_spec
 from mdgan_tpu.data.partitioner import shard_data
 from mdgan_tpu.data.sampler import ShardSampler

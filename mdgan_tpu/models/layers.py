@@ -14,7 +14,7 @@ is a CUDA/cuDNN convention and is converted only at the IO edges).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

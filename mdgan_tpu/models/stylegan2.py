@@ -23,7 +23,7 @@ StyleGAN2's blur + transposed conv).
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

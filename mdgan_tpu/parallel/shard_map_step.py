@@ -26,12 +26,11 @@ Tested equal to the engine path on the virtual 8-device mesh
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from mdgan_tpu.core import prng
 from mdgan_tpu.engine import state as state_lib
