@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--local_epochs", type=int, default=1)
     p.add_argument("--batch_size", type=int, default=10)
     p.add_argument("--log_interval", type=int, default=300)
+    p.add_argument("--checkpoint_interval", type=int, default=3000,
+                   help="full-state checkpoint period (0 = only final)")
     p.add_argument("--generator_lr", type=float, default=2e-4)
     p.add_argument("--discriminator_lr", type=float, default=2e-4)
     p.add_argument("--iid", type=int, default=1)
@@ -55,7 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk_size", type=int, default=100)
     p.add_argument("--compute_dtype", choices=["bfloat16", "float32"],
                    default="bfloat16")
-    p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--no_pallas", action="store_true",
+                   help="master switch disabling all Pallas kernels")
+    p.add_argument("--fused_adam", action="store_true",
+                   help="Pallas fused-Adam kernel (see core/config.py notes)")
+    p.add_argument("--pallas_sampling", action="store_true",
+                   help="Pallas DMA gather+normalize sampling (pre-tiled shards)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of the first chunks here")
@@ -75,8 +82,8 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         local_epochs=args.local_epochs,
         swap_interval=args.swap_interval,
         log_interval=args.log_interval,
+        checkpoint_interval=args.checkpoint_interval,
         seed=args.seed,
-        iid=args.iid == 1,
         generator_opt=OptimizerConfig(lr=args.generator_lr, beta_1=args.beta_1,
                                       beta_2=args.beta_2),
         discriminator_opt=OptimizerConfig(lr=args.discriminator_lr,
@@ -84,6 +91,8 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         chunk_size=args.chunk_size,
         compute_dtype=args.compute_dtype,
         use_pallas=not args.no_pallas,
+        fused_adam=args.fused_adam,
+        pallas_sampling=args.pallas_sampling,
         n_samples=args.n_samples,
         eval_n_samples=args.eval_n_samples,
         log_dir=args.log_dir,

@@ -91,7 +91,6 @@ class TrainConfig:
     swap_interval: int = 5000
     log_interval: int = 300
     seed: int = 1
-    iid: bool = True
 
     generator_opt: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
     discriminator_opt: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
@@ -131,6 +130,11 @@ class TrainConfig:
     eval_n_samples: int = 0     # standard-protocol FID sample count (0 = off)
 
     # --- io ---
+    # Full-state (orbax) checkpoint period in rounds; 0 = only at the end.
+    # Reference-style weights-only npz exports still happen every
+    # log_interval. Distinct from log_interval because full checkpoints are
+    # ~100 MB and eval is cheap.
+    checkpoint_interval: int = 3000
     log_dir: str = "logs"
     image_dir: str = "saved_images"
     weights_dir: str = "weights"

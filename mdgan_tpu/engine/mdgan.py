@@ -82,7 +82,7 @@ class MDGANEngine:
         self.d_tx = state_lib.make_optimizer(train_cfg.discriminator_opt)
         # Pallas fused Adam on single-device runs (a pallas_call is not
         # auto-partitioned under a sharded mesh; multi-chip keeps optax).
-        fused_ok = train_cfg.fused_adam and (
+        fused_ok = train_cfg.use_pallas and train_cfg.fused_adam and (
             mesh is None or int(np.prod(list(mesh.shape.values()))) == 1)
         self.g_fused = state_lib.make_fused_adam(train_cfg.generator_opt) if fused_ok else None
         self.d_fused = state_lib.make_fused_adam(train_cfg.discriminator_opt) if fused_ok else None
@@ -113,7 +113,8 @@ class MDGANEngine:
             self._constrain = lambda x, kind: x
         # Pallas fused gather+normalize sampling (ops/sampling.py, opt-in):
         # rows must be 128-byte aligned; multi-device keeps the XLA gather.
-        self._pallas_sampling = (train_cfg.pallas_sampling and single_dev
+        self._pallas_sampling = (train_cfg.use_pallas
+                                 and train_cfg.pallas_sampling and single_dev
                                  and (h * w * c) % 128 == 0)
         self._chunk_fns: Dict[int, Callable] = {}
         self._swap_fn = None
@@ -256,15 +257,20 @@ class MDGANEngine:
         # (N, b, h, w, c) — same images the VJP linearized
 
         def fb_loss(xg_n, params, stats, rng):
-            logits, _ = state_lib.apply_train(self.d_model, params, stats, xg_n, rng)
-            return losses.g_loss(logits)
+            logits, new_stats = state_lib.apply_train(self.d_model, params, stats,
+                                                      xg_n, rng)
+            return losses.g_loss(logits), new_stats
 
         rng_fb = jax.random.fold_in(kdrop, cfg.local_epochs)
         rngs_fb = jax.vmap(lambda ww: jax.random.fold_in(rng_fb, ww))(w_idx)
-        fb_and_loss = jax.vmap(jax.value_and_grad(fb_loss), in_axes=(0, 0, 0, 0))
-        g_losses, feedback = fb_and_loss(
+        fb_and_loss = jax.vmap(jax.value_and_grad(fb_loss, has_aux=True),
+                               in_axes=(0, 0, 0, 0))
+        (g_losses, d_stats), feedback = fb_and_loss(
             jax.lax.stop_gradient(x_g), d_params, d_stats, rngs_fb
         )  # feedback: (N, b, h, w, c) = the reference's worker->server payload
+        # the train-mode D(X_g) forward updates BN running stats too
+        # (reference worker.py:220-221) — those are the stats that travel in
+        # swaps and final exports, so keep them.
 
         # (5) route feedbacks onto their source batches and run the generator
         # VJP once with the reference's 1/(b*N) scaling (server.py:266-302).

@@ -40,10 +40,11 @@ class StandaloneEngine:
         self.d_model = spec.make_discriminator(dtype=dtype)
         self.g_tx = state_lib.make_optimizer(train_cfg.generator_opt)
         self.d_tx = state_lib.make_optimizer(train_cfg.discriminator_opt)
+        fused_ok = train_cfg.use_pallas and train_cfg.fused_adam
         self.g_fused = (state_lib.make_fused_adam(train_cfg.generator_opt)
-                        if train_cfg.fused_adam else None)
+                        if fused_ok else None)
         self.d_fused = (state_lib.make_fused_adam(train_cfg.discriminator_opt)
-                        if train_cfg.fused_adam else None)
+                        if fused_ok else None)
         self._chunk_fns: Dict[int, Callable] = {}
         self._sample_fns: Dict[int, Callable] = {}
 
@@ -80,8 +81,11 @@ class StandaloneEngine:
 
         def g_loss_fn(g_params, g_stats, d_params, d_stats, rng):
             fake, g_stats_new = state_lib.apply_train(self.g_model, g_params, g_stats, z)
-            logits, _ = state_lib.apply_train(self.d_model, d_params, d_stats, fake, rng)
-            return losses.g_loss(logits), g_stats_new
+            logits, d_stats_new = state_lib.apply_train(self.d_model, d_params,
+                                                        d_stats, fake, rng)
+            # reference standalone_gan.py:218 runs D(fake) in train mode during
+            # the G step, updating D's BN running stats — keep that update
+            return losses.g_loss(logits), (g_stats_new, d_stats_new)
 
         d_vg = jax.value_and_grad(d_loss_fn, has_aux=True)
         g_vg = jax.value_and_grad(g_loss_fn, has_aux=True)
@@ -96,10 +100,12 @@ class StandaloneEngine:
                 self.d_tx, self.d_fused, d_grads, d.opt, d.params)
             d = NetState(params=d_params_new, stats=d_stats_new, opt=d_opt)
             # (2) G step against the updated D (standalone_gan.py:215-223)
-            (gl, g_stats_new), g_grads = g_vg(g.params, g.stats, d.params, d.stats, rg)
+            (gl, (g_stats_new, d_stats_new2)), g_grads = g_vg(
+                g.params, g.stats, d.params, d.stats, rg)
             g_params_new, g_opt = state_lib.optimizer_step(
                 self.g_tx, self.g_fused, g_grads, g.opt, g.params)
             g = NetState(params=g_params_new, stats=g_stats_new, opt=g_opt)
+            d = NetState(params=d.params, stats=d_stats_new2, opt=d.opt)
             return g, d, dl_sum + dl, gl_sum + gl
 
         g, d, dl_sum, gl_sum = jax.lax.fori_loop(

@@ -70,6 +70,12 @@ class MDGANTrainer:
         self.spec = get_spec(run_cfg.data.dataset)
         self.n = run_cfg.mesh.num_workers
 
+        # the reference validates world-size parity at bootstrap
+        # (bootstrap.py:163-164); fail before any compute, not at round 5000
+        if self.n > 1 and tc.swap_interval > 0 and self.n % 2 != 0:
+            raise ValueError(
+                f"num_workers={self.n} must be even when discriminator swaps "
+                "are enabled (set --swap_interval 0 to disable)")
         mesh = None
         if jax.device_count() > 1:
             mesh = mesh_lib.make_mesh(run_cfg.mesh)
@@ -81,7 +87,7 @@ class MDGANTrainer:
                                       max_examples=run_cfg.data.max_examples)
         self.full_data = data
         shards, self.shard_indices = shard_data(
-            data, self.n, iid=tc.iid, seed=0
+            data, self.n, iid=run_cfg.data.iid, seed=0
         )  # seed 0 == reference's device_generator.manual_seed(0), server.py:152-154
         self.shards = self.engine.shard_data(shards)
         self.sampler = ShardSampler(self.n, shards.shape[1], tc.batch_size, seed=0)
@@ -233,8 +239,12 @@ class MDGANTrainer:
                 self.logger.mark(swap=True)
                 swapped_with = perm
 
-            if e % tc.log_interval == 0 or e == tc.epochs - 1:
+            if (tc.log_interval > 0 and e % tc.log_interval == 0) or e == tc.epochs - 1:
                 self._evaluate(e)
+            if (tc.checkpoint_interval > 0 and e > 0
+                    and e % tc.checkpoint_interval == 0) or e == tc.epochs - 1:
+                with self.logger.span("agg_gradients"):  # repurposed: ckpt IO
+                    pass
                 self.ckpt.save(e, self.state,
                                sampler_state=self.sampler.state_dict(),
                                host_rng_state=ckpt_lib.host_rng_state(self.swap_rng))
@@ -324,7 +334,7 @@ class StandaloneTrainer:
                 metrics = jax.device_get(metrics)
             cur += clen
             e = cur - 1
-            if e % tc.log_interval == 0 or e == tc.epochs - 1:
+            if (tc.log_interval > 0 and e % tc.log_interval == 0) or e == tc.epochs - 1:
                 fakes = self.engine.sample_fn(max(16, tc.n_samples))(
                     self.state.g, prng.for_step(self.state.key, prng.EVAL, jnp.int32(e)))
                 fakes01 = np.asarray(losses.denormalize_to_unit(fakes))

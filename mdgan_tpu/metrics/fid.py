@@ -53,6 +53,38 @@ def activation_statistics(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return mu, sigma
 
 
+def frechet_from_features(f1: np.ndarray, f2: np.ndarray) -> float:
+    """FID from raw feature matrices, using the low-rank identity.
+
+    With centered factors A_i = (f_i - mu_i)^T / sqrt(n_i - 1) (so
+    Sigma_i = A_i A_i^T), the nonzero eigenvalues of Sigma_1 Sigma_2 are the
+    squared singular values of A_2^T A_1, hence
+        tr sqrtm(Sigma_1 Sigma_2) = ||A_2^T A_1||_* (nuclear norm).
+    That replaces two dense (d x d) eigendecompositions (seconds at d=2048)
+    with one SVD of an (n_2 x n_1) matrix — exact, not an approximation.
+    """
+    mu1, mu2 = f1.mean(axis=0), f2.mean(axis=0)
+    diff = float(((mu1 - mu2) ** 2).sum())
+    n1, n2 = len(f1), len(f2)
+    if n1 < 2 or n2 < 2:
+        return max(diff, 0.0)
+    d = f1.shape[1]
+    if min(n1, n2) > d:
+        # high-sample regime (standard protocol): the (n2, n1) cross matrix is
+        # bigger than d x d, so the dense route is the cheap one
+        _, s1 = activation_statistics(f1)
+        _, s2 = activation_statistics(f2)
+        return max(diff + float(np.trace(s1) + np.trace(s2))
+                   - 2.0 * _matrix_sqrt_trace(s1, s2), 0.0)
+    a1 = (f1 - mu1).T / np.sqrt(n1 - 1)   # (d, n1)
+    a2 = (f2 - mu2).T / np.sqrt(n2 - 1)   # (d, n2)
+    tr1 = float((a1 * a1).sum())          # tr(Sigma_1)
+    tr2 = float((a2 * a2).sum())
+    cross = a2.T @ a1                     # (n2, n1)
+    nuclear = float(np.linalg.svd(cross, compute_uv=False).sum())
+    return max(diff + tr1 + tr2 - 2.0 * nuclear, 0.0)
+
+
 def fid_score(real_images: np.ndarray, fake_images: np.ndarray) -> float:
     """FID between two image sets in [0, 1], NHWC (1 or 3 channels)."""
     from mdgan_tpu.metrics.inception import calibrate
@@ -60,9 +92,7 @@ def fid_score(real_images: np.ndarray, fake_images: np.ndarray) -> float:
     calibrate(real_images)
     rf, _ = inception_features(real_images)
     ff, _ = inception_features(fake_images)
-    mu_r, s_r = activation_statistics(rf)
-    mu_f, s_f = activation_statistics(ff)
-    return frechet_distance(mu_r, s_r, mu_f, s_f)
+    return frechet_from_features(rf, ff)
 
 
 def inception_score(fake_images: np.ndarray, splits: int = 1) -> Tuple[float, float]:
@@ -93,10 +123,8 @@ class FIDTracker:
         # calibrates the random-init fallback's BN stats on the real images
         # (no-op with pretrained weights) — see inception.calibrate
         calibrate(real_images)
-        feats, _ = inception_features(real_images)
-        self.mu_r, self.sigma_r = activation_statistics(feats)
+        self.real_feats, _ = inception_features(real_images)
 
     def score(self, fake_images: np.ndarray) -> float:
         ff, _ = inception_features(fake_images)
-        mu_f, s_f = activation_statistics(ff)
-        return frechet_distance(self.mu_r, self.sigma_r, mu_f, s_f)
+        return frechet_from_features(self.real_feats, ff)

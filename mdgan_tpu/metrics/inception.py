@@ -235,6 +235,7 @@ def get_inception(weights_path: Optional[str] = None):
             source = "pretrained"
             break
     _CACHED = (model, variables, source)
+    _RUN_CACHE.clear()  # drop any jitted extractor closed over old weights
     return model, variables, source
 
 

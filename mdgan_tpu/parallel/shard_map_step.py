@@ -111,11 +111,12 @@ def make_shard_map_step(engine) -> Callable:
         rng_fb = jax.random.fold_in(jax.random.fold_in(kdrop, cfg.local_epochs), my)
 
         def fb_loss(xg):
-            logits, _ = state_lib.apply_train(engine.d_model, d_params, d_stats,
-                                              xg, rng_fb)
-            return losses.g_loss(logits)
+            logits, new_stats = state_lib.apply_train(engine.d_model, d_params,
+                                                      d_stats, xg, rng_fb)
+            return losses.g_loss(logits), new_stats
 
-        g_loss_val, feedback = jax.value_and_grad(fb_loss)(x_g)
+        (g_loss_val, d_stats), feedback = jax.value_and_grad(
+            fb_loss, has_aux=True)(x_g)
 
         # (5) route my feedback onto my source batch and psum the cotangents
         # over the workers axis — THE explicit collective of the algorithm

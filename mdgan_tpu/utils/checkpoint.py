@@ -66,9 +66,12 @@ class CheckpointManager:
         if sampler_state is not None:
             payload["sampler"] = dict(sampler_state)
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
-        self._mgr.wait_until_finished()
+        # saves run asynchronously; wait only where consistency requires it
+        # (restore/close) so training never blocks on checkpoint IO
         if host_rng_state is not None:
-            meta = self.directory / str(step) / "host_rng.json"
+            # kept beside (not inside) the orbax step dir: saves are async and
+            # the step dir only appears at finalize
+            meta = self.directory / f"host_rng_{step}.json"
             meta.write_text(json.dumps(host_rng_state, default=int))
 
     def latest_step(self) -> Optional[int]:
@@ -79,6 +82,7 @@ class CheckpointManager:
         """Returns (state, sampler_state, host_rng_state, step)."""
         import flax.serialization
 
+        self._mgr.wait_until_finished()
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
@@ -89,11 +93,14 @@ class CheckpointManager:
         state = _decode_keys(flax.serialization.from_state_dict(
             encoded_template, restored["state"]))
         sampler = restored.get("sampler")
-        rng_file = self.directory / str(step) / "host_rng.json"
+        rng_file = self.directory / f"host_rng_{step}.json"
+        if not rng_file.exists():  # pre-async layout compatibility
+            rng_file = self.directory / str(step) / "host_rng.json"
         host_rng = json.loads(rng_file.read_text()) if rng_file.exists() else None
         return state, sampler, host_rng, step
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 

@@ -38,7 +38,7 @@ def test_non_iid_partitions_are_contiguous_and_divergent():
     np.testing.assert_array_equal(idx[3], np.arange(75, 100))
     # training runs on them
     cfg = TrainConfig(batch_size=4, chunk_size=2, compute_dtype="float32",
-                      donate=False, iid=False)
+                      donate=False)
     eng = MDGANEngine(spec, cfg, num_workers=4)
     st = eng.init_state(seed=0)
     sampler = ShardSampler(4, shards.shape[1], 4, seed=0)

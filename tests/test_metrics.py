@@ -99,3 +99,18 @@ def test_inception_network_runs():
     g = rng.uniform(0, 1, (2, 28, 28, 1)).astype(np.float32)
     feats_g, _ = inception_features(g, batch=2)
     assert feats_g.shape == (2, 2048)
+
+
+def test_low_rank_frechet_equals_dense():
+    """frechet_from_features (SVD/Gram form) == the dense sqrtm formulation."""
+    from mdgan_tpu.metrics.fid import frechet_from_features
+
+    rng = np.random.default_rng(4)
+    for n1, n2, d in [(5, 20, 64), (32, 32, 16), (2, 3, 8), (100, 50, 32)]:
+        f1 = rng.normal(size=(n1, d))
+        f2 = rng.normal(2.0, 1.5, size=(n2, d))
+        mu1, s1 = activation_statistics(f1)
+        mu2, s2 = activation_statistics(f2)
+        dense = frechet_distance(mu1, s1, mu2, s2)
+        fast = frechet_from_features(f1, f2)
+        np.testing.assert_allclose(fast, dense, rtol=1e-8, atol=1e-8)

@@ -147,6 +147,6 @@ def test_cli_flag_surface():
     cfg = config_from_args(args)
     assert cfg.train.epochs == 5
     assert cfg.train.local_epochs == 3
-    assert not cfg.train.iid
+    assert not cfg.data.iid
     assert cfg.train.generator_opt.beta_1 == 0.5
     assert cfg.train.discriminator_opt.lr == 2e-3
