@@ -44,7 +44,15 @@ def make_mesh(cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) -
         while cfg.num_workers % d != 0:
             d -= 1
         n_work = d
-    dev_grid = np.asarray(devices[: n_rep * n_work]).reshape(n_rep, n_work)
+    used = n_rep * n_work
+    if used < n:
+        import logging
+
+        logging.getLogger("mdgan_tpu").warning(
+            "mesh uses %d of %d devices (%d workers not divisible by the "
+            "worker-axis size); %d devices idle", used, n, cfg.num_workers,
+            n - used)
+    dev_grid = np.asarray(devices[:used]).reshape(n_rep, n_work)
     return Mesh(dev_grid, (cfg.replica_axis, cfg.worker_axis))
 
 

@@ -114,11 +114,12 @@ def load_mnist(data_dir: str, split: str = "train", fallback: str = "synthetic",
                 f"mnist/MNIST/raw/{stem}-labels-idx1-ubyte",
                 f"mnist/MNIST/raw/{stem}-labels-idx1-ubyte.gz",
                 f"{stem}-labels-idx1-ubyte", f"{stem}-labels-idx1-ubyte.gz")
-    if img.suffix != ".gz":
+    if img.suffix != ".gz" and not (lbl and lbl.suffix == ".gz"):
+        # native decoder handles raw idx only; any gzipped piece goes to the
+        # python path so labels are never silently dropped
         from mdgan_tpu.data import native
 
-        decoded = native.decode_mnist(img, lbl if lbl and lbl.suffix != ".gz" else None,
-                                      max_examples or 60000)
+        decoded = native.decode_mnist(img, lbl, max_examples or 60000)
         if decoded is not None:
             return decoded
     data = _read_idx(img)[..., None]  # (n, 28, 28, 1)

@@ -66,7 +66,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int]
         lib.decode_mnist_idx.restype = ctypes.c_int64
         lib.decode_mnist_idx.argtypes = [
-            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
         lib.decode_mnist_labels.restype = ctypes.c_int64
         lib.decode_mnist_labels.argtypes = [
@@ -103,7 +103,8 @@ def decode_mnist(images_path: str, labels_path: Optional[str],
     rows = ctypes.c_int64()
     cols = ctypes.c_int64()
     n = lib.decode_mnist_idx(str(images_path).encode(), buf.ctypes.data,
-                             max_examples, ctypes.byref(rows), ctypes.byref(cols))
+                             max_examples, buf.size,
+                             ctypes.byref(rows), ctypes.byref(cols))
     if n <= 0:
         return None
     images = buf[: n * rows.value * cols.value].reshape(n, rows.value, cols.value, 1)

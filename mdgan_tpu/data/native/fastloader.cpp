@@ -68,7 +68,8 @@ static uint32_t be32(const uint8_t* p) {
 }
 
 int64_t decode_mnist_idx(const char* path, uint8_t* out, int64_t max_examples,
-                         int64_t* rows_out, int64_t* cols_out) {
+                         int64_t buf_capacity, int64_t* rows_out,
+                         int64_t* cols_out) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   uint8_t hdr[16];
@@ -76,7 +77,10 @@ int64_t decode_mnist_idx(const char* path, uint8_t* out, int64_t max_examples,
   uint32_t magic = be32(hdr);
   if (magic != 0x00000803) { fclose(f); return -1; }
   int64_t n = be32(hdr + 4), rows = be32(hdr + 8), cols = be32(hdr + 12);
+  if (rows <= 0 || cols <= 0) { fclose(f); return -1; }
   if (n > max_examples) n = max_examples;
+  // never trust header dims past the caller's buffer
+  if (n * rows * cols > buf_capacity) { fclose(f); return -1; }
   *rows_out = rows;
   *cols_out = cols;
   int64_t want = n * rows * cols;

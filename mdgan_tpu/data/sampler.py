@@ -50,10 +50,13 @@ class ShardSampler:
     def next_chunk(self, num_steps: int) -> np.ndarray:
         """Indices for the next `num_steps` rounds: (T, N, b) int32.
 
-        Mirrors DataLoader restart semantics: a batch never straddles an epoch
-        boundary — if fewer than b indices remain, the tail is dropped and a
-        fresh permutation starts (torch DataLoader's StopIteration + re-iter,
-        reference ``worker.py:163-167``).
+        Epoch semantics: a batch never straddles an epoch boundary — if fewer
+        than b indices remain, the tail is DROPPED and a fresh permutation
+        starts.  (The reference's DataLoader has drop_last=False, so it would
+        yield that short batch — and then crash, because the worker's BCE
+        labels are fixed at length b (``worker.py:114, 199``).  Dropping the
+        tail is the only well-defined behavior; reference experiment configs
+        all have shard sizes divisible by b and never hit it.)
         """
         st = self.state
         out = np.empty((num_steps, self.n, self.b), np.int32)

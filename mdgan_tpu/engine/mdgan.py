@@ -348,6 +348,11 @@ class MDGANEngine:
             and self.mesh_cfg is not None
             and self.mesh.shape[self.mesh_cfg.worker_axis] == self.n
         )
+        if impl == "ppermute" and not eligible:
+            raise ValueError(
+                "swap_impl='ppermute' needs a mesh with one worker per device "
+                f"on the worker axis (mesh={self.mesh}, workers={self.n}); "
+                "use 'gather' or 'auto'")
         if impl == "ppermute" or (impl == "auto" and eligible):
             from mdgan_tpu.parallel.swap import swap_ppermute
 

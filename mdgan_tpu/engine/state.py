@@ -81,7 +81,10 @@ def apply_train_pair(model: nn.Module, params, stats, x_pair, rng_pair):
         lambda x, r: apply_train(model, params, stats, x, r)
     )(x_pair, rng_pair)
     if stats:
-        m = 0.9  # BN momentum used by all models (torch 0.1)
+        from mdgan_tpu.models.layers import BN_MOMENTUM as m
+        # NB: the chained formula is only exact for models whose BatchNorm
+        # momentum equals layers.BN_MOMENTUM (all built-ins); custom models
+        # with a different momentum must not use the pair fusion.
         new_stats = jax.tree.map(
             lambda s0, s12: m * s12[0] + s12[1] - m * s0, stats, stats2
         )

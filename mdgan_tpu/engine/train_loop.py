@@ -48,7 +48,7 @@ log = logging.getLogger("mdgan_tpu")
 
 
 def _next_event(cur: int, epochs: int, swap_interval: int, log_interval: int,
-                n_workers: int) -> int:
+                n_workers: int, checkpoint_interval: int = 0) -> int:
     """Smallest round e >= cur whose END triggers a host event."""
     candidates = [epochs - 1]
     if n_workers > 1 and swap_interval > 0:
@@ -58,6 +58,11 @@ def _next_event(cur: int, epochs: int, swap_interval: int, log_interval: int,
         candidates.append(nxt)
     if log_interval > 0:
         candidates.append(((cur + log_interval - 1) // log_interval) * log_interval)
+    if checkpoint_interval > 0:
+        nxt = ((cur + checkpoint_interval - 1) // checkpoint_interval) * checkpoint_interval
+        if nxt == 0:
+            nxt = checkpoint_interval
+        candidates.append(nxt)
     return min(c for c in candidates if c >= cur)
 
 
@@ -213,7 +218,7 @@ class MDGANTrainer:
         rounds_done = 0
         while cur < tc.epochs:
             event_end = _next_event(cur, tc.epochs, tc.swap_interval, tc.log_interval,
-                                    self.n)
+                                    self.n, tc.checkpoint_interval)
             clen = min(tc.chunk_size, event_end - cur + 1, tc.epochs - cur)
             idx = jnp.asarray(self.sampler.next_chunk(clen))
 

@@ -23,6 +23,11 @@ from flax import linen as nn
 Dtype = Any
 
 DCGAN_W_STD = 0.02
+# BatchNorm running-average momentum for every built-in model
+# (flax momentum 0.9 == torch momentum 0.1, the torch default the reference
+# models use). engine.state.apply_train_pair's chained-stats formula depends
+# on this value — keep them in sync through this constant.
+BN_MOMENTUM = 0.9
 
 
 def dcgan_conv_init(key, shape, dtype=jnp.float32):
@@ -78,6 +83,10 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        # biased convs (the CelebA cv2/cv3 quirk) keep torch's default bias
+        # init U(+-1/sqrt(fan_in)); the reference's _weights_init never
+        # touches conv biases (bootstrap.py:22-27)
+        fan_in = x.shape[-1] * self.kernel * self.kernel
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
@@ -85,13 +94,14 @@ class ConvBlock(nn.Module):
             padding=self.padding,
             use_bias=self.use_bias,
             kernel_init=dcgan_conv_init,
+            bias_init=TorchLinearBiasInit(fan_in),
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
-                momentum=0.9,  # torch momentum 0.1 == flax momentum 0.9
+                momentum=BN_MOMENTUM,
                 epsilon=1e-5,
                 scale_init=bn_scale_init,
                 dtype=self.dtype,
@@ -130,7 +140,7 @@ class ConvTransposeBlock(nn.Module):
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
-                momentum=0.9,
+                momentum=BN_MOMENTUM,
                 epsilon=1e-5,
                 scale_init=bn_scale_init,
                 dtype=self.dtype,

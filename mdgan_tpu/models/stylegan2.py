@@ -206,7 +206,9 @@ def minibatch_stddev(x, group_size: int = 4):
     y = x.reshape(g, b // g, h, w, c).astype(jnp.float32)
     y = y - y.mean(axis=0, keepdims=True)
     y = jnp.sqrt((y * y).mean(axis=0) + 1e-8).mean(axis=(1, 2, 3))  # (b//g,)
-    y = jnp.repeat(y, g)[:, None, None, None]
+    # sample s sits at reshape position (s // (b//g), s % (b//g)), i.e. its
+    # group statistic is y[s % (b//g)] -> tile, not repeat
+    y = jnp.tile(y, g)[:, None, None, None]
     return jnp.concatenate([x, jnp.broadcast_to(y.astype(x.dtype), (b, h, w, 1))],
                            axis=-1)
 

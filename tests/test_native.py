@@ -104,3 +104,13 @@ def test_shard_data_native_path_matches(lib):
         native._TRIED, native._LIB = False, None
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_array_equal(s1, s2)
+
+
+def test_mnist_oversized_dims_rejected(lib, tmp_path):
+    """Header dims beyond the buffer must be rejected, not overflow the heap."""
+    import struct as st
+
+    big = tmp_path / "train-images-idx3-ubyte"
+    # claims 100 examples of 64x64 (> the 28x28-sized buffer for 100)
+    big.write_bytes(st.pack(">IIII", 0x803, 100, 64, 64) + b"\0" * (100 * 64 * 64))
+    assert native.decode_mnist(big, None, max_examples=100) is None
