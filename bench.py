@@ -141,20 +141,91 @@ def bench_standalone() -> dict:
     }
 
 
+def bench_sustained(rounds: int = 6000) -> dict:
+    """Time the REAL trainer inner loop, not just the jitted kernel.
+
+    Drives ``MDGANTrainer.train()`` end-to-end at the headline config with
+    eval/checkpointing disabled: the timed region includes the host-side
+    index sampler, chunk scheduling, metrics ``device_get``, span/worker CSV
+    writes, one discriminator swap, and the final weight exports — every
+    overhead a production run pays.  A short warm-up run (same shapes)
+    populates the persistent compilation cache first so compile time is not
+    billed to the steady-state rate.
+    """
+    import tempfile
+
+    from mdgan_tpu.cli.train import build_parser, config_from_args
+    from mdgan_tpu.engine.train_loop import MDGANTrainer
+
+    def argv_for(n_rounds: int, tmp: str):
+        return [
+            "--mode", "mdgan", "--dataset", "CIFAR10", "--num_workers", "8",
+            "--epochs", str(n_rounds), "--batch_size", "10",
+            "--swap_interval", "5000", "--log_interval", "0",
+            "--checkpoint_interval", "0", "--chunk_size", "500",
+            "--max_examples", "50000",
+            "--log_dir", f"{tmp}/logs", "--image_dir", f"{tmp}/imgs",
+            "--weights_dir", f"{tmp}/weights", "--checkpoint_dir", f"{tmp}/ckpt",
+        ]
+
+    warm_tmp = tempfile.mkdtemp(prefix="mdgan_bench_warm_")
+    warm = MDGANTrainer(config_from_args(build_parser().parse_args(
+        argv_for(500, warm_tmp))))
+    warm.train()
+    warm.close()
+
+    tmp = tempfile.mkdtemp(prefix="mdgan_bench_")
+    trainer = MDGANTrainer(config_from_args(build_parser().parse_args(
+        argv_for(rounds, tmp))))
+    summary = trainer.train()
+    trainer.close()
+
+    import jax
+    import numpy as np
+
+    assert summary["rounds"] == rounds
+    assert np.isfinite(summary["final_mean_d_loss"])
+    sps = summary["steps_per_sec"]
+    return {
+        "metric": "mdgan_cifar10_8worker_sustained_steps_per_sec",
+        "value": round(sps, 2),
+        "unit": "rounds/s",
+        "images_per_sec_per_chip": round(sps * 10 * 8 / jax.device_count(), 1),
+        "batch_size": 10,
+        "num_workers": 8,
+        "device": str(jax.devices()[0]),
+        "steps_timed": rounds,
+        "wall_s": round(summary["wall_time_s"], 3),
+        "includes": "host sampler + chunk dispatch + metrics device_get + "
+                    "CSV logging + swap + final weight export",
+        "vs_baseline": round(sps / REFERENCE_STEPS_PER_SEC, 2),
+        "baseline_steps_per_sec": REFERENCE_STEPS_PER_SEC,
+        "baseline_source": "reference 2-worker local run, median 0.131 s/round (BASELINE.md)",
+    }
+
+
 def main() -> None:
     from mdgan_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="headline",
-                   choices=list(CONFIGS) + ["standalone", "all"])
+                   choices=list(CONFIGS) + ["standalone", "sustained", "all"])
+    p.add_argument("--sustained", action="store_true",
+                   help="alias for --config sustained (times the real "
+                        "trainer loop incl. all host overheads)")
     args = p.parse_args()
+    if args.sustained:
+        args.config = "sustained"
     if args.config == "all":
         for name in CONFIGS:
             print(json.dumps(bench_mdgan(name)))
         print(json.dumps(bench_standalone()))
+        print(json.dumps(bench_sustained()))
     elif args.config == "standalone":
         print(json.dumps(bench_standalone()))
+    elif args.config == "sustained":
+        print(json.dumps(bench_sustained()))
     else:
         print(json.dumps(bench_mdgan(args.config)))
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 from pathlib import Path
+from typing import List
 
 import numpy as np
 
@@ -120,20 +121,105 @@ def plot_file(path: Path, out_dir: Path) -> None:
             fig.savefig(out_dir / f"{stem}.{metric}.png", dpi=120)
             plt.close(fig)
 
+    # sent/recv payload sizes per round (plot_logs.ipynb cell 14)
+    size_pts = [
+        (r["epoch"], r.get("size.sent"), r.get("size.recv")) for r in rows
+        if isinstance(r.get("epoch"), float)
+        and (isinstance(r.get("size.sent"), float)
+             or isinstance(r.get("size.recv"), float))
+    ]
+    if size_pts and any(s or v for _, s, v in size_pts):
+        fig, ax = plt.subplots(figsize=(8, 3))
+        es = [e for e, _, _ in size_pts]
+        ax.plot(es, [s if isinstance(s, float) else 0.0 for _, s, _ in size_pts],
+                label="size.sent")
+        ax.plot(es, [v if isinstance(v, float) else 0.0 for _, _, v in size_pts],
+                label="size.recv", linestyle="--")
+        for static in ("size.data", "size.feedback", "size.model"):
+            val = next((r.get(static) for r in rows
+                        if isinstance(r.get(static), float)), None)
+            if val:
+                ax.axhline(val, linewidth=0.8, alpha=0.5)
+                ax.annotate(f"{static}={val:.2f}MB", (es[0], val), fontsize=7)
+        ax.set_xlabel("round")
+        ax.set_ylabel("MB")
+        ax.set_title(f"{stem}: payload sizes per round")
+        ax.legend(fontsize=8)
+        fig.tight_layout()
+        fig.savefig(out_dir / f"{stem}.sizes.png", dpi=120)
+        plt.close(fig)
+
+
+def plot_timeline(paths: List[Path], out_path: Path, max_rows: int = 10) -> bool:
+    """Op-timeline (Gantt) across actors — the reference's ``timeline_10`` /
+    ``timeline_1`` report figures (plot_logs.ipynb cell 24): one lane per
+    (actor, op), one bar per logged start./end. span, first ``max_rows`` rows
+    of each file, all on a shared wall-clock axis.
+
+    Returns False (and writes nothing) when no file contributes a span.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    lanes: List[tuple] = []  # (label, [(start, dur), ...])
+    t0 = None
+    for path in paths:
+        rows = spans_lib.read_spans(path)[:max_rows]
+        actor = path.stem.replace(".logs", "")
+        per_op: dict = {}
+        for row in rows:
+            for key, val in row.items():
+                if not key.startswith("start.") or not isinstance(val, float):
+                    continue
+                op = key[len("start."):]
+                end = row.get(f"end.{op}")
+                if not isinstance(end, float) or end <= val:
+                    continue
+                per_op.setdefault(op, []).append((val, end - val))
+                t0 = val if t0 is None else min(t0, val)
+        for op, bars in sorted(per_op.items()):
+            lanes.append((f"{actor}: {op}", bars))
+    if not lanes or t0 is None:
+        return False
+
+    fig, ax = plt.subplots(figsize=(11, 0.35 * len(lanes) + 1.5))
+    cmap = plt.get_cmap("tab20")
+    for i, (label, bars) in enumerate(lanes):
+        ax.broken_barh([(s - t0, d) for s, d in bars], (i - 0.4, 0.8),
+                       facecolors=cmap(i % 20))
+    ax.set_yticks(range(len(lanes)))
+    ax.set_yticklabels([l for l, _ in lanes], fontsize=7)
+    ax.invert_yaxis()
+    ax.set_xlabel("wall-clock time since first span (s)")
+    ax.set_title(f"operation timeline (first {max_rows} rows per actor)")
+    fig.tight_layout()
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return True
+
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("csvs", nargs="+")
     p.add_argument("--json", action="store_true", help="machine-readable output")
     p.add_argument("--plot", type=str, default=None, metavar="DIR",
-                   help="write per-op / loss / FID figure PNGs here "
-                        "(the reference plot_logs.ipynb figures)")
+                   help="write per-op / loss / FID / payload-size / timeline "
+                        "figure PNGs here (the reference plot_logs.ipynb figures)")
+    p.add_argument("--timeline_rounds", type=int, default=10,
+                   help="rows per actor in the op-timeline Gantt "
+                        "(reference timeline_10/timeline_1 figures)")
     args = p.parse_args(argv)
 
     reports = [analyze_file(Path(c)) for c in args.csvs]
     if args.plot:
         for c in args.csvs:
             plot_file(Path(c), Path(args.plot))
+        plot_timeline([Path(c) for c in args.csvs],
+                      Path(args.plot) / "timeline.png",
+                      max_rows=args.timeline_rounds)
     if args.json:
         print(json.dumps(reports, indent=2))
         return 0

@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Pallas fused-Adam kernel (see core/config.py notes)")
     p.add_argument("--pallas_sampling", action="store_true",
                    help="Pallas DMA gather+normalize sampling (pre-tiled shards)")
+    p.add_argument("--sync_eval", action="store_true",
+                   help="run FID/IS eval inline on the round loop (the "
+                        "reference's behaviour) instead of on a background "
+                        "thread")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of the first chunks here")
@@ -95,6 +99,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         pallas_sampling=args.pallas_sampling,
         n_samples=args.n_samples,
         eval_n_samples=args.eval_n_samples,
+        async_eval=not args.sync_eval,
         log_dir=args.log_dir,
         image_dir=args.image_dir,
         weights_dir=args.weights_dir,

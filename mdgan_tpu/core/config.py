@@ -128,6 +128,12 @@ class TrainConfig:
     # --- evaluation ---
     n_samples: int = 5          # reference 5-sample FID (``server.py:82``)
     eval_n_samples: int = 0     # standard-protocol FID sample count (0 = off)
+    # Run FID/IS + grid/weights IO on a background thread from a host snapshot
+    # of the round-e generator (identical eval outputs; latents are keyed by
+    # step).  The reference evaluates inline on the server's round loop
+    # (``server.py:336-367``), which at TPU round rates would dominate wall
+    # time ~18:1 (REPORT.md §4) — async is the performance-correct default.
+    async_eval: bool = True
 
     # --- io ---
     # Full-state (orbax) checkpoint period in rounds; 0 = only at the end.

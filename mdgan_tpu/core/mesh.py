@@ -66,12 +66,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def global_put(a, sh: NamedSharding):
+    """``device_put`` that also works when the sharding spans processes.
+
+    Multi-host (``jax.distributed``-initialized) runs cannot ``device_put``
+    onto non-addressable devices; instead each process contributes its local
+    shards via ``jax.make_array_from_callback`` from an identical host copy
+    (every process computes the same init/data — reference equivalence: each
+    machine runs the same bootstrap, ``bootstrap.py:57-68``).  Typed PRNG keys
+    travel as raw key-data and are re-wrapped under jit.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(a, sh)
+    if hasattr(a, "dtype") and jax.dtypes.issubdtype(a.dtype, jax.dtypes.prng_key):
+        kd = np.asarray(jax.device_get(jax.random.key_data(a)))
+        g = jax.make_array_from_callback(kd.shape, sh, lambda i: kd[i])
+        return jax.jit(jax.random.wrap_key_data, out_shardings=sh)(g)
+    host = np.asarray(jax.device_get(a))
+    return jax.make_array_from_callback(host.shape, sh, lambda i: host[i])
+
+
 def shard_stacked(tree, mesh: Mesh, cfg: MeshConfig):
     """Place a pytree whose leaves all have a leading ``workers`` axis."""
     sh = worker_sharding(mesh, cfg)
-    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+    return jax.tree.map(lambda a: global_put(a, sh), tree)
 
 
 def replicate(tree, mesh: Mesh):
     sh = replicated(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+    return jax.tree.map(lambda a: global_put(a, sh), tree)

@@ -142,19 +142,17 @@ class MDGANEngine:
     def shard_state(self, st: MDGANState) -> MDGANState:
         from mdgan_tpu.core import mesh as mesh_lib
 
+        wrk = mesh_lib.worker_sharding(self.mesh, self.mesh_cfg)
+        rep = mesh_lib.replicated(self.mesh)
         d = jax.tree.map(
-            lambda a: jax.device_put(
-                a, mesh_lib.worker_sharding(self.mesh, self.mesh_cfg)
-            )
+            lambda a: mesh_lib.global_put(a, wrk)
             if hasattr(a, "ndim") and a.ndim >= 1 and a.shape[:1] == (self.n,)
-            else jax.device_put(a, mesh_lib.replicated(self.mesh)),
+            else mesh_lib.global_put(a, rep),
             st.d,
         )
-        rest = MDGANState(g=st.g, d=d, key=st.key, step=st.step)
-        rep = mesh_lib.replicated(self.mesh)
-        g = jax.tree.map(lambda a: jax.device_put(a, rep), rest.g)
-        return MDGANState(g=g, d=d, key=jax.device_put(st.key, rep),
-                          step=jax.device_put(st.step, rep))
+        g = jax.tree.map(lambda a: mesh_lib.global_put(a, rep), st.g)
+        return MDGANState(g=g, d=d, key=mesh_lib.global_put(st.key, rep),
+                          step=mesh_lib.global_put(st.step, rep))
 
     def shard_data(self, shards: np.ndarray) -> jax.Array:
         """Place the (N, S, H, W, C) uint8 shard stack on the mesh.
@@ -165,12 +163,13 @@ class MDGANEngine:
             from mdgan_tpu.ops.sampling import pretile_shards
 
             return pretile_shards(shards, self.spec.shape)
-        arr = jnp.asarray(shards)
         if self.mesh is not None:
             from mdgan_tpu.core import mesh as mesh_lib
 
-            arr = jax.device_put(arr, mesh_lib.worker_sharding(self.mesh, self.mesh_cfg))
-        return arr
+            return mesh_lib.global_put(
+                np.asarray(shards),
+                mesh_lib.worker_sharding(self.mesh, self.mesh_cfg))
+        return jnp.asarray(shards)
 
     # ------------------------------------------------------------------
     # one training round

@@ -81,10 +81,16 @@ def apply_train_pair(model: nn.Module, params, stats, x_pair, rng_pair):
         lambda x, r: apply_train(model, params, stats, x, r)
     )(x_pair, rng_pair)
     if stats:
-        from mdgan_tpu.models.layers import BN_MOMENTUM as m
-        # NB: the chained formula is only exact for models whose BatchNorm
-        # momentum equals layers.BN_MOMENTUM (all built-ins); custom models
-        # with a different momentum must not use the pair fusion.
+        from mdgan_tpu.models.layers import BN_MOMENTUM
+
+        # The chained formula depends on the model's BatchNorm momentum.
+        # Built-ins all use layers.BN_MOMENTUM; a custom registry model with a
+        # different momentum MUST declare it via a ``bn_momentum`` attribute
+        # (uniform across its BN layers) or its running stats would silently
+        # be wrong here.
+        m = getattr(model, "bn_momentum", None)
+        if m is None:
+            m = BN_MOMENTUM
         new_stats = jax.tree.map(
             lambda s0, s12: m * s12[0] + s12[1] - m * s0, stats, stats2
         )

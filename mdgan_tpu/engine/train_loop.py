@@ -24,8 +24,10 @@ from __future__ import annotations
 
 import logging
 import time
+from collections import deque
+from concurrent.futures import Future, ThreadPoolExecutor
 from pathlib import Path
-from typing import Dict, List
+from typing import Deque, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -101,8 +103,9 @@ class MDGANTrainer:
 
         name = f"mdgan.{self.n}.{run_cfg.data.dataset}"
         h, w, c = self.spec.shape
-        size_data = 2 * tc.batch_size * h * w * c * 4 / 1024**2
-        size_fb = self.n * tc.batch_size * h * w * c * 4 / 1024**2
+        self._payload_mb = tc.batch_size * h * w * c * 4 / 1024**2
+        size_data = 2 * self._payload_mb
+        size_fb = self.n * self._payload_mb
         self._row_template = lambda e: spans_lib.server_row_template(e, size_data, size_fb)
         self.logger = spans_lib.SpanLogger(
             Path(tc.log_dir) / f"{name}.server.logs.csv", self._row_template(0))
@@ -122,6 +125,17 @@ class MDGANTrainer:
         self._eval_history: List[Dict] = []
         if tc.resume and self.ckpt.latest_step() is not None:
             self._resume()
+        # Host copy of the run's root PRNG key (the key is constant across
+        # steps; a copy is required because donated device buffers may be
+        # invalidated under background eval).
+        self._key_host = np.asarray(jax.device_get(jax.random.key_data(self.state.key)))
+        # Background FID/IS evaluation: one ordered worker thread; finished
+        # server rows are held until their eval marks arrive (see _flush_rows).
+        self._eval_pool: Optional[ThreadPoolExecutor] = None
+        if tc.async_eval:
+            self._eval_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="mdgan-eval")
+        self._pending_rows: Deque[Tuple[Dict, Optional[Future]]] = deque()
 
     # ------------------------------------------------------------------
 
@@ -144,14 +158,36 @@ class MDGANTrainer:
                          replace=False)
         return self.full_data[idx].astype(np.float32) / 255.0
 
-    def _evaluate(self, epoch: int) -> Dict:
+    def _snapshot_g(self):
+        """Host copy of the generator at the current round.
+
+        ``device_get`` (not a reference) is mandatory: with ``donate=True``
+        the next training chunk invalidates the current state's buffers while
+        the background eval is still reading the snapshot."""
+        from mdgan_tpu.engine.state import NetState
+
+        return NetState(params=jax.device_get(self.state.g.params),
+                        stats=jax.device_get(self.state.g.stats), opt=None)
+
+    def _run_key(self) -> jax.Array:
+        return jax.random.wrap_key_data(jnp.asarray(self._key_host))
+
+    def _evaluate_work(self, epoch: int, g) -> Tuple[Dict, Dict]:
+        """FID/IS + grid/weights IO for round ``epoch``'s generator snapshot.
+
+        Runs on the eval thread (async) or inline (``--sync_eval``); touches
+        only the snapshot + the engine's jitted samplers, never live training
+        state.  Returns (CSV marks incl. fid/is span timestamps, eval record).
+        Eval cadence matches the reference (``server.py:336-367``); images are
+        regenerated with round-e's exact latents (see module docstring).
+        """
         from mdgan_tpu.metrics import fid as fid_lib
 
         tc = self.cfg.train
-        # regenerate with round-e latents (see module docstring)
-        kz = prng.for_step(self.state.key, prng.LATENT, jnp.int32(epoch))
+        marks: Dict = {}
+        kz = prng.for_step(self._run_key(), prng.LATENT, jnp.int32(epoch))
         num = self.engine.k * tc.batch_size
-        z_images = self.engine.sample_fn(num)(self.state.g, kz)
+        z_images = self.engine.sample_fn(num)(g, kz)
         fakes01 = np.asarray(losses.denormalize_to_unit(z_images))
 
         images_lib.save_image_grid(fakes01, Path(tc.image_dir) / f"generated_epoch_{epoch}.png")
@@ -161,25 +197,25 @@ class MDGANTrainer:
             real01 = self._real_eval_batch(tc.n_samples)
             images_lib.save_image_grid(real01, Path(tc.image_dir) / "real_images.png")
             self._fid_tracker = fid_lib.FIDTracker(real01)
-        with self.logger.span("is"):
-            is_mean, _ = fid_lib.inception_score(fakes01[:n_eval], splits=1)
-        with self.logger.span("fid"):
-            fid = self._fid_tracker.score(fakes01[:n_eval])
-        self.logger.mark(fid=fid, **{"is": is_mean})
+        marks["start.is"] = time.time()
+        is_mean, _ = fid_lib.inception_score(fakes01[:n_eval], splits=1)
+        marks["end.is"] = time.time()
+        marks["start.fid"] = time.time()
+        fid = self._fid_tracker.score(fakes01[:n_eval])
+        marks["end.fid"] = time.time()
+        marks.update(fid=fid, **{"is": is_mean})
 
         result = {"epoch": epoch, "fid": fid, "is": is_mean}
         if tc.eval_n_samples > 0:
-            result.update(self._evaluate_standard(epoch))
-            self.logger.mark(fid_standard=result["fid_standard"],
-                             is_standard=result["is_standard"])
+            result.update(self._evaluate_standard(epoch, g))
+            marks.update(fid_standard=result["fid_standard"],
+                         is_standard=result["is_standard"])
         ckpt_lib.save_weights_only(
-            Path(tc.weights_dir) / f"generator_{epoch}.npz",
-            self.state.g.params, self.state.g.stats)
-        self._eval_history.append(result)
+            Path(tc.weights_dir) / f"generator_{epoch}.npz", g.params, g.stats)
         log.info("eval @ %d: fid=%.2f is=%.3f", epoch, fid, is_mean)
-        return result
+        return marks, result
 
-    def _evaluate_standard(self, epoch: int) -> Dict:
+    def _evaluate_standard(self, epoch: int, g) -> Dict:
         """Standard-protocol FID/IS: eval_n_samples fakes vs eval_n_samples
         reals, IS over 10 splits — comparable to literature (BASELINE.md), as
         opposed to the reference's 5-sample logging."""
@@ -195,10 +231,10 @@ class MDGANTrainer:
                 self.full_data[idx].astype(np.float32) / 255.0)
         batch = 256
         fakes = []
-        key = prng.for_step(self.state.key, prng.EVAL, jnp.int32(epoch))
+        key = prng.for_step(self._run_key(), prng.EVAL, jnp.int32(epoch))
         for i in range(0, n, batch):
             num = min(batch, n - i)
-            out = self.engine.sample_fn(num)(self.state.g, jax.random.fold_in(key, i))
+            out = self.engine.sample_fn(num)(g, jax.random.fold_in(key, i))
             fakes.append(np.asarray(losses.denormalize_to_unit(out)))
         fakes01 = np.concatenate(fakes)
         fid_std = self._fid_std_tracker.score(fakes01)
@@ -207,6 +243,20 @@ class MDGANTrainer:
                  epoch, n, fid_std, is_std, is_std_dev)
         return {"fid_standard": fid_std, "is_standard": is_std,
                 "is_standard_std": is_std_dev}
+
+    def _flush_rows(self, block: bool = False) -> None:
+        """Write held server rows whose eval marks have arrived, in round
+        order.  ``block=True`` drains everything (end of run)."""
+        while self._pending_rows:
+            row, fut = self._pending_rows[0]
+            if fut is not None:
+                if not block and not fut.done():
+                    return
+                marks, result = fut.result()
+                row.update(marks)
+                self._eval_history.append(result)
+            self._pending_rows.popleft()
+            self.logger.write_row(row)
 
     # ------------------------------------------------------------------
 
@@ -227,11 +277,13 @@ class MDGANTrainer:
                 with self.logger.span("generate_data"):
                     pass  # fused into the jitted step (see module docstring)
                 with self.logger.span("calc_gradients"):
+                    t_chunk0 = time.time()
                     self.state, chunk_metrics = self.engine.chunk_fn(clen)(
                         self.state, self.shards, idx)
                     # device_get (not block_until_ready) guarantees completion
                     # on remote/tunneled TPU runtimes
                     chunk_metrics = jax.device_get(chunk_metrics)
+                    t_chunk1 = time.time()
             cur += clen
             rounds_done += clen
             e = cur - 1  # just-completed round
@@ -244,30 +296,60 @@ class MDGANTrainer:
                 self.logger.mark(swap=True)
                 swapped_with = perm
 
+            eval_fut: Optional[Future] = None
             if (tc.log_interval > 0 and e % tc.log_interval == 0) or e == tc.epochs - 1:
-                self._evaluate(e)
+                g_snap = self._snapshot_g()
+                if self._eval_pool is not None:
+                    eval_fut = self._eval_pool.submit(self._evaluate_work, e, g_snap)
+                else:
+                    marks, result = self._evaluate_work(e, g_snap)
+                    self.logger.mark(**marks)
+                    self._eval_history.append(result)
             if (tc.checkpoint_interval > 0 and e > 0
                     and e % tc.checkpoint_interval == 0) or e == tc.epochs - 1:
                 with self.logger.span("agg_gradients"):  # repurposed: ckpt IO
-                    pass
-                self.ckpt.save(e, self.state,
-                               sampler_state=self.sampler.state_dict(),
-                               host_rng_state=ckpt_lib.host_rng_state(self.swap_rng))
-            self.logger.end_row()
+                    self.ckpt.save(
+                        e, self.state,
+                        sampler_state=self.sampler.state_dict(),
+                        host_rng_state=ckpt_lib.host_rng_state(self.swap_rng))
+            # hold the row until its (async) eval marks land; rows flush in
+            # strict round order either way
+            self._pending_rows.append((self.logger.take_row(), eval_fut))
+            self._flush_rows(block=False)
 
             # one worker-CSV row per ROUND (reference worker.py:286 writes per
-            # round); spans are chunk-level since rounds fuse on device.
+            # round).  Device rounds fuse into one scan, so per-round
+            # epoch/calc_gradients spans are synthesized as equal slices of
+            # the measured chunk span; sent/recv are the per-round payload
+            # equivalents the reference measures on the wire
+            # (worker.py:119-126: recv = 2 fake batches, sent = feedback).
             d_losses = np.asarray(chunk_metrics["mean_d_loss"])  # (clen, N)
+            n_rows = d_losses.shape[0]
+            dt = (t_chunk1 - t_chunk0) / max(n_rows, 1)
+            size_recv = 2 * self._payload_mb
+            size_sent = self._payload_mb
+            base = self._worker_row_template
             for r in range(self.n):
-                wl = self._worker_logs[r]
-                for t in range(d_losses.shape[0]):
-                    round_no = e - d_losses.shape[0] + 1 + t
-                    wl.begin_row(spans_lib.worker_row_template(
-                        round_no, self._worker_row_template["size.model"]))
-                    wl.mark(mean_d_loss=float(d_losses[t, r]),
-                            swap_with=None if (swapped_with is None or round_no != e)
-                            else int(swapped_with[r]) + 1)
-                    wl.end_row()
+                rows = []
+                for t in range(n_rows):
+                    round_no = e - n_rows + 1 + t
+                    row = dict(base)
+                    row["epoch"] = round_no
+                    row["start.epoch"] = row["start.calc_gradients"] = t_chunk0 + t * dt
+                    row["end.epoch"] = row["end.calc_gradients"] = t_chunk0 + (t + 1) * dt
+                    row["mean_d_loss"] = float(d_losses[t, r])
+                    row["size.recv"] = size_recv
+                    row["size.sent"] = size_sent
+                    if swapped_with is not None and round_no == e:
+                        row["swap_with"] = int(swapped_with[r]) + 1
+                        # swap moves a full discriminator state dict each way
+                        row["size.recv"] += base["size.model"]
+                        row["size.sent"] += base["size.model"]
+                    rows.append(row)
+                self._worker_logs[r].write_many(rows)
+
+        # drain background evals so summary/CSV are complete and ordered
+        self._flush_rows(block=True)
 
         # final weights exports (reference server.py:372-375, worker.py:289-293)
         ckpt_lib.save_weights_only(Path(tc.weights_dir) / "generator_final.npz",
@@ -293,6 +375,13 @@ class MDGANTrainer:
         return summary
 
     def close(self):
+        if self._eval_pool is not None:
+            self._eval_pool.shutdown(wait=True)
+            self._eval_pool = None
+        try:
+            self._flush_rows(block=True)
+        except Exception:  # an eval future may re-raise; don't mask close()
+            log.exception("pending eval failed during close()")
         self.logger.close()
         for wl in self._worker_logs:
             wl.close()

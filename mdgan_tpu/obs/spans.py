@@ -92,14 +92,32 @@ class SpanLogger:
         assert self.row is not None
         self.row.update(values)
 
-    def end_row(self) -> None:
+    def take_row(self) -> Dict:
+        """Finalize the row's timestamps and detach it WITHOUT writing.
+
+        Used by the async-eval path: the trainer holds finished rows until
+        their background FID/IS marks arrive, then writes them in order via
+        :meth:`write_row` — row order in the CSV stays strictly by round,
+        matching the reference's synchronous logs.
+        """
         assert self.row is not None
         if "end.epoch_calculation" in self.row and self.row["end.epoch_calculation"] is None:
             self.row["end.epoch_calculation"] = time.time()
         self.row["end.epoch"] = time.time()
-        self._writer.writerow(self.row)
+        row, self.row = self.row, None
+        return row
+
+    def write_row(self, row: Dict) -> None:
+        self._writer.writerow(row)
         self._file.flush()
-        self.row = None
+
+    def write_many(self, rows: List[Dict]) -> None:
+        """Bulk append fully-formed rows (one flush for the whole batch)."""
+        self._writer.writerows(rows)
+        self._file.flush()
+
+    def end_row(self) -> None:
+        self.write_row(self.take_row())
 
     def close(self) -> None:
         self._file.close()

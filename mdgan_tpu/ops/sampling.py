@@ -77,7 +77,7 @@ def sample_normalize(data: jax.Array, idx: jax.Array, out_dtype=jnp.float32):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # idx
         grid=(n,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # data stays in HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # data stays in HBM
         out_specs=pl.BlockSpec((1, b, row // 128, 128),
                                lambda i, idx_ref: (i, 0, 0, 0)),
         scratch_shapes=[

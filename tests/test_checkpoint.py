@@ -4,6 +4,7 @@ save-only weights path (SURVEY.md §5.4)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mdgan_tpu.core.config import TrainConfig
 from mdgan_tpu.core.registry import get as get_spec
@@ -23,6 +24,7 @@ def _setup(n=2, b=4):
     return eng, jnp.asarray(shards), cfg
 
 
+@pytest.mark.slow
 def test_full_state_roundtrip_and_bitwise_resume(tmp_path):
     """Train 2 chunks; checkpoint; train 2 more; vs. restore-at-2 + 2 more.
     Final states must be bit-identical (true resume, which the reference

@@ -13,6 +13,7 @@ from mdgan_tpu.data.sampler import ShardSampler
 from mdgan_tpu.engine.mdgan import MDGANEngine
 
 
+@pytest.mark.slow
 def test_celeba_family_trains():
     """DCGAN-64 pair (reference CelebA.py:75-142) through the MD-GAN engine."""
     spec = get_spec("CelebA")
@@ -68,6 +69,7 @@ def test_local_epochs_multiple_d_steps():
     assert counts[3] == 6      # 2 rounds x 3 local steps
 
 
+@pytest.mark.slow
 def test_inception_torch_conversion_roundtrip(tmp_path):
     """A torch-format inception state dict (random weights, correct shapes)
     converts and loads into the Flax net; features differ from random-init."""
@@ -119,3 +121,42 @@ def test_inception_torch_conversion_roundtrip(tmp_path):
     want = np.transpose(state["Conv2d_1a_3x3.conv.weight"], (2, 3, 1, 0))
     np.testing.assert_array_equal(np.asarray(got), want)
     inception._CACHED = None  # don't leak pretrained cache into other tests
+
+
+def test_apply_train_pair_respects_declared_bn_momentum():
+    """The chained-stats fusion must honor a custom model's declared
+    ``bn_momentum`` (engine/state.py contract): fused pair apply == two
+    sequential train applies, for a momentum != layers.BN_MOMENTUM."""
+    from flax import linen as nn
+
+    from mdgan_tpu.engine import state as state_lib
+
+    class TinyBN(nn.Module):
+        bn_momentum: float = 0.75
+
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = nn.Dense(8)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=self.bn_momentum)(x)
+            return x.sum(axis=-1)
+
+    model = TinyBN()
+    key = jax.random.key(0)
+    x0 = jax.random.normal(jax.random.fold_in(key, 1), (4, 8))
+    x1 = jax.random.normal(jax.random.fold_in(key, 2), (4, 8))
+    variables = model.init({"params": key}, x0, train=True)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    r = jax.random.key(7)
+    out_a, stats_a = state_lib.apply_train(model, params, stats, x0, r)
+    out_b, stats_ab = state_lib.apply_train(model, params, stats_a, x1, r)
+
+    out2, stats_pair = state_lib.apply_train_pair(
+        model, params, stats, jnp.stack([x0, x1]), jnp.stack([r, r]))
+
+    np.testing.assert_allclose(np.asarray(out2[0]), np.asarray(out_a), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out2[1]), np.asarray(out_b), rtol=1e-6)
+    for la, lb in zip(jax.tree.leaves(stats_ab), jax.tree.leaves(stats_pair)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-5, atol=1e-6)

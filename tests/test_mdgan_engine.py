@@ -82,6 +82,7 @@ def test_determinism_and_chunking_invariance():
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=0, atol=0)
 
 
+@pytest.mark.slow
 def test_feedback_vjp_equals_direct_grad():
     """Engine G update == direct autodiff of
     (1/(b*N)) * sum_n mean_b BCE(D_n_updated(G(z_{n%k})), 1).
@@ -193,6 +194,7 @@ def test_k_batches_formula():
     assert k_batches(40) == 3
 
 
+@pytest.mark.slow
 def test_mesh_sharded_matches_single_device(eight_devices):
     """The same chunk on an 8-device mesh must reproduce single-device math."""
     from mdgan_tpu.core.config import MeshConfig

@@ -106,6 +106,7 @@ def test_conv_transpose_shape_parity_with_torch():
         assert out.shape[1] == hout, (kk, s, p, hin, out.shape, hout)
 
 
+@pytest.mark.slow
 def test_stylegan2_shapes_and_grads():
     """Stretch family: StyleGAN2-128 G/D forward shapes, grad flow, and
     noise-optional synthesis (deterministic without a dropout rng)."""
@@ -143,6 +144,7 @@ def test_stylegan2_shapes_and_grads():
     assert np.isfinite(total) and total > 0
 
 
+@pytest.mark.slow
 def test_stylegan2_mdgan_engine_compat():
     """The MD-GAN engine must train the stretch family unmodified."""
     from mdgan_tpu.core.config import TrainConfig

@@ -1,0 +1,105 @@
+"""Multi-host (multi-process) training equivalence.
+
+The reference demonstrably runs across machines (``run-distributed.sh:5-11``,
+``bootstrap.py:57-68``: same script per machine, TCP rendezvous).  The
+TPU-native equivalent is ``jax.distributed.initialize``: here two REAL
+processes (4 virtual CPU devices each) join a coordinator, run one MD-GAN
+chunk + swap over the global 8-device mesh, and must produce (a) identical
+results to each other and (b) the same training trajectory as a
+single-process run on the same 8-device mesh.
+"""
+
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+DRIVER = Path(__file__).parent / "multihost_driver.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_reference():
+    """The same chunk + swap on this process's own 8-device mesh."""
+    import jax
+
+    from mdgan_tpu.core import mesh as mesh_lib
+    from mdgan_tpu.core.config import MeshConfig, TrainConfig
+    from mdgan_tpu.core.registry import get as get_spec
+    from mdgan_tpu.data.partitioner import shard_data
+    from mdgan_tpu.data.sampler import ShardSampler
+    from mdgan_tpu.engine.mdgan import MDGANEngine
+
+    n, chunk = 8, 3
+    cfg = TrainConfig(batch_size=2, chunk_size=chunk, compute_dtype="float32",
+                      donate=False)
+    mesh_cfg = MeshConfig(num_workers=n, num_replicas=1)
+    mesh = mesh_lib.make_mesh(mesh_cfg)
+    spec = get_spec("SyntheticMNIST")
+    data, _ = spec.load("data", max_examples=64)
+    shards_np, _ = shard_data(data, n, iid=True, seed=0)
+    eng = MDGANEngine(spec, cfg, num_workers=n, mesh=mesh, mesh_cfg=mesh_cfg)
+    st = eng.init_state(seed=0)
+    shards = eng.shard_data(shards_np)
+    sampler = ShardSampler(n, shards_np.shape[1], cfg.batch_size, seed=0)
+    idx = np.asarray(sampler.next_chunk(chunk))
+    st, metrics = eng.chunk_fn(chunk)(st, shards, idx)
+    st = eng.swap(st, eng.sample_swap_perm(np.random.default_rng(0)))
+    g_leaves = [np.asarray(jax.device_get(l)) for l in jax.tree.leaves(st.g.params)]
+    return {
+        "mean_d_loss": np.asarray(jax.device_get(metrics["mean_d_loss"])),
+        "g_param_sums": np.asarray([np.float64(l.sum()) for l in g_leaves]),
+        "g_first_values": g_leaves[0].ravel()[:32],
+        "d_first_sum": np.float64(
+            np.asarray(jax.device_get(jax.tree.leaves(st.d.params)[0])).sum()),
+    }
+
+
+@pytest.mark.slow
+def test_two_process_chunk_matches_single_process(tmp_path, eight_devices):
+    port = _free_port()
+    outs = [tmp_path / f"proc{i}.json" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(DRIVER), str(i), str(port), str(outs[i])],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=str(Path(__file__).parent.parent),
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        logs.append(out)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"process {i} failed:\n{logs[i][-4000:]}"
+
+    results = [json.loads(o.read_text()) for o in outs]
+    # (a) both processes computed on the SAME global arrays -> identical views
+    assert results[0]["step"] == results[1]["step"] == 3
+    np.testing.assert_array_equal(results[0]["mean_d_loss"],
+                                  results[1]["mean_d_loss"])
+    np.testing.assert_array_equal(results[0]["g_first_values"],
+                                  results[1]["g_first_values"])
+    np.testing.assert_array_equal(results[0]["g_param_sums"],
+                                  results[1]["g_param_sums"])
+
+    # (b) the distributed run follows the single-process trajectory (same
+    # program, same seeds; tolerance covers collective reduction order)
+    ref = _single_process_reference()
+    np.testing.assert_allclose(np.asarray(results[0]["mean_d_loss"]),
+                               ref["mean_d_loss"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(results[0]["g_first_values"]),
+                               ref["g_first_values"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(results[0]["g_param_sums"]),
+                               ref["g_param_sums"], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(results[0]["d_first_sum"], ref["d_first_sum"],
+                               rtol=1e-4, atol=1e-4)

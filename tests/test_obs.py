@@ -99,3 +99,45 @@ def test_host_monitor_samples(tmp_path):
     assert len(rows) >= 2
     assert 0.0 <= float(rows[-1]["cpu_percent"]) <= 100.0
     assert float(rows[-1]["mem_total_mb"]) > 100
+
+
+def test_plot_figures_from_repo_and_reference_csvs(tmp_path):
+    """analyze --plot must render every figure kind — incl. the op-timeline
+    Gantt and payload-size figures (reference plot_logs.ipynb cells 14-24) —
+    from a freshly-written repo CSV AND from a reference-committed CSV
+    (proving the schema round-trips)."""
+    import time
+    from pathlib import Path
+
+    from mdgan_tpu.cli import analyze
+
+    # repo CSV: synthesize a few rows with spans, sizes, and metrics
+    path = tmp_path / "mdgan.2.Synth.server.logs.csv"
+    logger = spans_lib.SpanLogger(path, spans_lib.server_row_template(0, 0.234, 0.117))
+    for e in range(4):
+        logger.begin_row(spans_lib.server_row_template(e, 0.234, 0.117))
+        with logger.span("calc_gradients"):
+            time.sleep(0.001)
+        logger.mark(fid=100.0 + e, **{"is": 2.0}, **{"size.sent": 0.5, "size.recv": 0.3})
+        logger.end_row()
+    logger.close()
+    out = tmp_path / "plots"
+    assert analyze.main([str(path), "--plot", str(out)]) == 0
+    assert (out / "mdgan.2.Synth.server.ops.png").exists()
+    assert (out / "mdgan.2.Synth.server.sizes.png").exists()
+    assert (out / "timeline.png").exists()
+
+    ref = Path("/root/reference/src/logs")
+    if not ref.exists():
+        return  # reference tree only present in the build environment
+    out2 = tmp_path / "refplots"
+    rc = analyze.main([
+        str(ref / "mdgan.2.CIFAR10.server.logs.csv"),
+        str(ref / "mdgan.2.CIFAR10.worker.1.logs.csv"),
+        "--plot", str(out2), "--timeline_rounds", "5",
+    ])
+    assert rc == 0
+    assert (out2 / "mdgan.2.CIFAR10.server.ops.png").exists()
+    assert (out2 / "mdgan.2.CIFAR10.server.sizes.png").exists()
+    assert (out2 / "mdgan.2.CIFAR10.worker.1.ops.png").exists()
+    assert (out2 / "timeline.png").exists()

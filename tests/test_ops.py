@@ -100,6 +100,7 @@ def test_engine_fused_matches_optax_engine():
                                    rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_engine_pallas_sampling_matches_gather():
     """pallas_sampling=True (interpret on CPU) must reproduce the XLA gather
     path bit-for-bit (CIFAR-shaped rows are 128-aligned)."""

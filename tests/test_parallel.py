@@ -74,6 +74,7 @@ def test_ppermute_rejects_mismatched_axis(eight_devices):
         swap_ppermute(st.d.params, np.array([1, 0, 3, 2]), mesh, "workers")
 
 
+@pytest.mark.slow
 def test_replica_axis_matches_single_device(eight_devices):
     """(replica=2, workers=4) mesh with N=8 workers (2 per device) must match
     single-device numerics — validates the data-parallel batch sharding."""

@@ -52,6 +52,7 @@ def test_next_event_schedule():
     assert _next_event(1, 120, 40, 60, 1) == 60
 
 
+@pytest.mark.slow
 def test_mdgan_trainer_end_to_end(tmp_path, stub_inception):
     cfg = _cfg(tmp_path, [
         "--mode", "mdgan", "--num_workers", "4", "--epochs", "50",
@@ -85,6 +86,7 @@ def test_mdgan_trainer_end_to_end(tmp_path, stub_inception):
     assert all(isinstance(r["mean_d_loss"], float) for r in worker_rows)
 
 
+@pytest.mark.slow
 def test_mdgan_trainer_resume(tmp_path, stub_inception):
     argv = [
         "--mode", "mdgan", "--num_workers", "2", "--epochs", "30",
@@ -121,6 +123,7 @@ def test_mdgan_trainer_resume(tmp_path, stub_inception):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=0, rtol=0)
 
 
+@pytest.mark.slow
 def test_standalone_trainer(tmp_path, stub_inception):
     cfg = _cfg(tmp_path, [
         "--mode", "standalone", "--epochs", "20", "--batch_size", "8",
