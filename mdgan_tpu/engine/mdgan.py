@@ -111,6 +111,19 @@ class MDGANEngine:
             self._constrain = _constrain
         else:
             self._constrain = lambda x, kind: x
+        # Workers-axis sharding strategy: explicit shard_map once the axis is
+        # really sharded (XLA's partitioner chokes on the batch-grouped convs
+        # the stacked-D vmap produces — see _d_region_shard_map), compiler
+        # sharding constraints otherwise.
+        self._workers_sharded = False
+        if mesh is not None and mesh_cfg is not None:
+            w_shards = mesh.shape.get(mesh_cfg.worker_axis, 1)
+            if w_shards > 1:
+                if num_workers % w_shards != 0:
+                    raise ValueError(
+                        f"num_workers={num_workers} must be divisible by the "
+                        f"workers mesh axis size {w_shards}")
+                self._workers_sharded = True
         # Pallas fused gather+normalize sampling (ops/sampling.py, opt-in):
         # rows must be 128-byte aligned; multi-device keeps the XLA gather.
         self._pallas_sampling = (train_cfg.use_pallas
@@ -175,6 +188,175 @@ class MDGANEngine:
     # one training round
     # ------------------------------------------------------------------
 
+    def _d_region(self, d_params, d_stats, d_opt, x_k, data, idx, kdrop,
+                  w_ids, constrain):
+        """Worker-local phases of the round (reference ``worker.py:157-286``):
+        private-shard sampling, ``local_epochs`` D Adam steps, post-update
+        error-feedback cotangents.
+
+        Operates on whatever slice of the worker stack it is handed — the full
+        stack single-device / compiler-sharded, or the device-local slice
+        under :meth:`_d_region_shard_map`.  ``w_ids`` are the GLOBAL worker
+        indices of the slice (they seed per-worker RNG and pick fake batches),
+        so numerics are layout-independent.
+
+        Returns (d_params, d_stats, d_opt, mean_d_loss, g_losses,
+        cot, fb_sq) where ``cot`` is the (k, b, h, w, c) scatter-added
+        UNSCALED cotangent sum over this slice's workers and ``fb_sq`` the sum
+        of squared feedback entries (for the feedback_norm metric).
+        """
+        cfg, k, b = self.cfg, self.k, self.cfg.batch_size
+        h, w, c = self.spec.shape
+        nl = w_ids.shape[0]
+        g_assign = w_ids % k          # X_g batch per worker (server.py:238)
+        d_assign = (w_ids + 1) % k    # X_d batch per worker (server.py:239)
+
+        # (2) distribute fake batches to workers (pure indexing).
+        x_d = constrain(
+            jax.lax.stop_gradient(jnp.take(x_k, d_assign, axis=0)),
+            "worker_batch")  # (nl, b, h, w, c)
+
+        if self._pallas_sampling:
+            from mdgan_tpu.ops.sampling import sample_normalize
+
+            # data arrives pre-tiled (shard_data); fused DMA gather + normalize
+            real = sample_normalize(data, idx).reshape(nl, b, h, w, c)
+        else:
+            real = losses.normalize_uint8(
+                jax.vmap(lambda shard, ii: shard[ii])(data, idx)
+            )  # (nl, b, h, w, c) float32 in [-1, 1]
+        real = constrain(real, "worker_batch")
+
+        # (3) local discriminator training.  Real and fake forwards are fused
+        # into one batched pass with exact per-half BN statistics
+        # (state.apply_train_pair; semantics of worker.py:197-203).
+        def d_loss_fn(params, stats, real_n, fake_n, rng):
+            r1, r2 = jax.random.split(rng)
+            logits2, stats2 = state_lib.apply_train_pair(
+                self.d_model, params, stats,
+                jnp.stack([real_n, fake_n]), jnp.stack([r1, r2]))
+            return losses.d_loss(logits2[0], logits2[1]), stats2
+
+        d_vg = jax.vmap(jax.value_and_grad(d_loss_fn, has_aux=True),
+                        in_axes=(0, 0, 0, 0, 0))
+
+        def local_step(l, carry):
+            params, stats, opt, loss_sum = carry
+            rng_l = jax.random.fold_in(kdrop, l)
+            rngs = jax.vmap(lambda ww: jax.random.fold_in(rng_l, ww))(w_ids)
+            (loss, new_stats), grads = d_vg(params, stats, real, x_d, rngs)
+            params, opt = state_lib.optimizer_step(
+                self.d_tx, self.d_fused, grads, opt, params)
+            return params, new_stats, opt, loss_sum + loss
+
+        d_params, d_stats, d_opt, d_loss_sum = jax.lax.fori_loop(
+            0, cfg.local_epochs, local_step,
+            (d_params, d_stats, d_opt, jnp.zeros(nl, jnp.float32)),
+        )
+        mean_d_loss = d_loss_sum / cfg.local_epochs  # (nl,) — worker.py:215
+
+        # (4) error feedback through the UPDATED discriminators (worker.py:218-233).
+        x_g = constrain(jnp.take(x_k, g_assign, axis=0), "worker_batch")
+        # (nl, b, h, w, c) — same images the G VJP linearized
+
+        def fb_loss(xg_n, params, stats, rng):
+            logits, new_stats = state_lib.apply_train(self.d_model, params, stats,
+                                                      xg_n, rng)
+            return losses.g_loss(logits), new_stats
+
+        rng_fb = jax.random.fold_in(kdrop, cfg.local_epochs)
+        rngs_fb = jax.vmap(lambda ww: jax.random.fold_in(rng_fb, ww))(w_ids)
+        fb_and_loss = jax.vmap(jax.value_and_grad(fb_loss, has_aux=True),
+                               in_axes=(0, 0, 0, 0))
+        (g_losses, d_stats), feedback = fb_and_loss(
+            jax.lax.stop_gradient(x_g), d_params, d_stats, rngs_fb
+        )  # feedback: (nl, b, h, w, c) = the reference's worker->server payload
+        # the train-mode D(X_g) forward updates BN running stats too
+        # (reference worker.py:220-221) — those are the stats that travel in
+        # swaps and final exports, so keep them.
+
+        # (5a) route feedbacks onto their source batches (server.py:266-302);
+        # the cross-slice sum/scaling happens in the caller.
+        cot = (
+            jnp.zeros((k, b, h, w, c), x_k.dtype)
+            .at[g_assign]
+            .add(feedback)
+        )
+        fb_sq = jnp.sum(feedback.astype(jnp.float32) ** 2)
+        return d_params, d_stats, d_opt, mean_d_loss, g_losses, cot, fb_sq
+
+    def _d_region_shard_map(self, d_params, d_stats, d_opt, x_k, data, idx, kdrop):
+        """The D region as an explicit shard_map over the workers mesh axis.
+
+        XLA's SPMD partitioner cannot split the batch-grouped convolutions
+        that vmapping the stacked discriminators produces once the workers
+        axis has as many shards as the kernel's per-group output features
+        (e.g. DCGAN's final 1-channel conv or a to-RGB conv on an 8-way
+        axis: "output feature dimension (3) must be divisible by
+        feature_group_count (8)").  Inside a manual-over-workers region each
+        device holds its own worker slice, the vmap width is N/W, and the
+        convolutions never cross devices — the partitioner problem
+        disappears by construction.  The replica axis (if any) stays "auto":
+        batch-dim constraints inside the region still apply to it.
+
+        The feedback aggregation becomes a literal ``lax.psum`` over ICI —
+        the explicit form of the reference's N-irecv + sum loop
+        (``server.py:266-304``).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = self.mesh_cfg.worker_axis
+        n_shards = self.mesh.shape[axis]
+        nl = self.n // n_shards
+        rep_ax = (self.mesh_cfg.replica_axis
+                  if self.mesh.shape.get(self.mesh_cfg.replica_axis, 1) > 1
+                  else None)
+
+        def constrain_local(xv, kind):
+            # worker dim is device-local here; only the (auto) replica axis
+            # can still be annotated.
+            if rep_ax is None:
+                return xv
+            if kind == "worker_batch":        # (nl, b, ...)
+                spec_ = P(None, rep_ax)
+            elif kind == "global_batch":      # (k*b, ...)
+                spec_ = P(rep_ax)
+            else:
+                spec_ = P()
+            return jax.lax.with_sharding_constraint(
+                xv, NamedSharding(self.mesh, spec_))
+
+        def worker_stacked_spec(tree):
+            # params/stats/Adam moments carry a leading worker axis; scalar
+            # leaves (Adam count) are replicated.
+            return jax.tree.map(
+                lambda l: P(axis) if (hasattr(l, "ndim") and l.ndim >= 1
+                                      and l.shape[0] == self.n) else P(),
+                tree)
+
+        specs_d = (worker_stacked_spec(d_params), worker_stacked_spec(d_stats),
+                   worker_stacked_spec(d_opt))
+
+        def body(d_params, d_stats, d_opt, x_k, data, idx, kdrop):
+            shard_i = jax.lax.axis_index(axis)
+            w_ids = shard_i * nl + jnp.arange(nl)
+            (d_params, d_stats, d_opt, mean_d_loss, g_losses, cot,
+             fb_sq) = self._d_region(d_params, d_stats, d_opt, x_k, data, idx,
+                                     kdrop, w_ids, constrain_local)
+            # THE collective of the algorithm: feedback cotangents summed
+            # across workers over ICI.
+            cot = jax.lax.psum(cot, axis)
+            fb_sq = jax.lax.psum(fb_sq, axis)
+            return d_params, d_stats, d_opt, mean_d_loss, g_losses, cot, fb_sq
+
+        mapped = jax.shard_map(
+            body, mesh=self.mesh, axis_names={axis},
+            in_specs=(*specs_d, P(), P(axis), P(axis), P()),
+            out_specs=(*specs_d, P(axis), P(axis), P(), P()),
+            check_vma=False,
+        )
+        return mapped(d_params, d_stats, d_opt, x_k, data, idx, kdrop)
+
     def _step(self, st: MDGANState, data: jax.Array, idx: jax.Array, step_no: jax.Array):
         """One MD-GAN round on stacked arrays.
 
@@ -183,9 +365,6 @@ class MDGANEngine:
         """
         cfg, n, k, b = self.cfg, self.n, self.k, self.cfg.batch_size
         h, w, c = self.spec.shape
-        w_idx = jnp.arange(n)
-        g_assign = w_idx % k          # X_g batch per worker (server.py:238)
-        d_assign = (w_idx + 1) % k    # X_d batch per worker (server.py:239)
 
         kz = prng.for_step(st.key, prng.LATENT, step_no)
         kdrop = prng.for_step(st.key, prng.DROPOUT, step_no)
@@ -208,77 +387,22 @@ class MDGANEngine:
         # see _zero_like_stats below.
         x_k = x_all.reshape(k, b, h, w, c)
 
-        # (2) distribute fake batches to workers (pure indexing).
-        x_d = self._constrain(
-            jax.lax.stop_gradient(x_k[d_assign]), "worker_batch")  # (N, b, h, w, c)
-
-        if self._pallas_sampling:
-            from mdgan_tpu.ops.sampling import sample_normalize
-
-            # data arrives pre-tiled (shard_data); fused DMA gather + normalize
-            real = sample_normalize(data, idx).reshape(n, b, h, w, c)
+        # (2)-(4): the worker-local region — explicit shard_map once the
+        # workers axis is actually sharded (see _d_region_shard_map), the
+        # plain stacked form otherwise.
+        if self._workers_sharded:
+            (d_params, d_stats, d_opt, mean_d_loss, g_losses, cot,
+             fb_sq) = self._d_region_shard_map(
+                st.d.params, st.d.stats, st.d.opt, x_k, data, idx, kdrop)
         else:
-            real = losses.normalize_uint8(
-                jax.vmap(lambda shard, ii: shard[ii])(data, idx)
-            )  # (N, b, h, w, c) float32 in [-1, 1]
-        real = self._constrain(real, "worker_batch")
+            (d_params, d_stats, d_opt, mean_d_loss, g_losses, cot,
+             fb_sq) = self._d_region(
+                st.d.params, st.d.stats, st.d.opt, x_k, data, idx, kdrop,
+                jnp.arange(n), self._constrain)
 
-        # (3) local discriminator training.  Real and fake forwards are fused
-        # into one batched pass with exact per-half BN statistics
-        # (state.apply_train_pair; semantics of worker.py:197-203).
-        def d_loss_fn(params, stats, real_n, fake_n, rng):
-            r1, r2 = jax.random.split(rng)
-            logits2, stats2 = state_lib.apply_train_pair(
-                self.d_model, params, stats,
-                jnp.stack([real_n, fake_n]), jnp.stack([r1, r2]))
-            return losses.d_loss(logits2[0], logits2[1]), stats2
-
-        d_vg = jax.vmap(jax.value_and_grad(d_loss_fn, has_aux=True),
-                        in_axes=(0, 0, 0, 0, 0))
-
-        def local_step(l, carry):
-            params, stats, opt, loss_sum = carry
-            rng_l = jax.random.fold_in(kdrop, l)
-            rngs = jax.vmap(lambda ww: jax.random.fold_in(rng_l, ww))(w_idx)
-            (loss, new_stats), grads = d_vg(params, stats, real, x_d, rngs)
-            params, opt = state_lib.optimizer_step(
-                self.d_tx, self.d_fused, grads, opt, params)
-            return params, new_stats, opt, loss_sum + loss
-
-        d_params, d_stats, d_opt, d_loss_sum = jax.lax.fori_loop(
-            0, cfg.local_epochs, local_step,
-            (st.d.params, st.d.stats, st.d.opt, jnp.zeros(n, jnp.float32)),
-        )
-        mean_d_loss = d_loss_sum / cfg.local_epochs  # (N,) — worker.py:215
-
-        # (4) error feedback through the UPDATED discriminators (worker.py:218-233).
-        x_g = self._constrain(x_k[g_assign], "worker_batch")
-        # (N, b, h, w, c) — same images the VJP linearized
-
-        def fb_loss(xg_n, params, stats, rng):
-            logits, new_stats = state_lib.apply_train(self.d_model, params, stats,
-                                                      xg_n, rng)
-            return losses.g_loss(logits), new_stats
-
-        rng_fb = jax.random.fold_in(kdrop, cfg.local_epochs)
-        rngs_fb = jax.vmap(lambda ww: jax.random.fold_in(rng_fb, ww))(w_idx)
-        fb_and_loss = jax.vmap(jax.value_and_grad(fb_loss, has_aux=True),
-                               in_axes=(0, 0, 0, 0))
-        (g_losses, d_stats), feedback = fb_and_loss(
-            jax.lax.stop_gradient(x_g), d_params, d_stats, rngs_fb
-        )  # feedback: (N, b, h, w, c) = the reference's worker->server payload
-        # the train-mode D(X_g) forward updates BN running stats too
-        # (reference worker.py:220-221) — those are the stats that travel in
-        # swaps and final exports, so keep them.
-
-        # (5) route feedbacks onto their source batches and run the generator
-        # VJP once with the reference's 1/(b*N) scaling (server.py:266-302).
-        cot = (
-            jnp.zeros((k, b, h, w, c), x_all.dtype)
-            .at[g_assign]
-            .add(feedback)
-            .reshape(k * b, h, w, c)
-        ) * (1.0 / (b * n))
+        # (5) run the generator VJP once over the summed cotangents with the
+        # reference's exact 1/(b*N) scaling (server.py:266-313).
+        cot = cot.reshape(k * b, h, w, c) * (1.0 / (b * n))
         g_grad = g_vjp((cot, self._zero_like_stats(g_stats_new)))[0]
 
         g_params, g_opt = state_lib.optimizer_step(
@@ -293,7 +417,7 @@ class MDGANEngine:
         metrics = {
             "mean_d_loss": mean_d_loss,               # (N,)
             "g_feedback_loss": g_losses,              # (N,) BCE(D_n(X_g),1)
-            "feedback_norm": jnp.sqrt(jnp.sum(feedback.astype(jnp.float32) ** 2)),
+            "feedback_norm": jnp.sqrt(fb_sq),
         }
         return new_state, metrics
 

@@ -108,6 +108,61 @@ def test_replica_axis_matches_single_device(eight_devices):
                                np.asarray(m2["mean_d_loss"]), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
+def test_stylegan2_multichip_matches_single_device(eight_devices):
+    """The stretch family (StyleGAN2) trained over an 8-device workers mesh
+    must reproduce single-device numerics, including a ppermute swap — proves
+    the SURVEY §2.2 strategies hold for the non-DCGAN model family too
+    (VERDICT r1 item 10: previously only proven single-device)."""
+    import dataclasses
+
+    from mdgan_tpu.data.partitioner import shard_data
+    from mdgan_tpu.data.sampler import ShardSampler
+    from mdgan_tpu.models import stylegan2 as sg
+
+    n, b = 8, 2
+    spec = get_spec("FFHQ128")
+    small = dataclasses.replace(
+        spec, shape=(32, 32, 3),
+        make_generator=lambda **kw: sg.StyleGAN2Generator(
+            max_res=32, base_features=32, map_layers=2, **kw),
+        make_discriminator=lambda **kw: sg.StyleGAN2Discriminator(
+            max_res=32, base_features=32, **kw),
+    )
+    cfg = TrainConfig(batch_size=b, chunk_size=2, compute_dtype="float32",
+                      donate=False)
+    from mdgan_tpu.data.builtin import synthesize
+
+    data, _ = synthesize((32, 32, 3), 64, seed=5)
+    shards_np, _ = shard_data(data, n, iid=True, seed=0)
+    sampler = ShardSampler(n, shards_np.shape[1], b, seed=0)
+    idx = sampler.next_chunk(2)
+
+    eng1 = MDGANEngine(small, cfg, num_workers=n)
+    st1 = eng1.init_state(seed=7)
+    out1, m1 = eng1.chunk_fn(2)(st1, jnp.asarray(shards_np), jnp.asarray(idx))
+
+    mcfg = MeshConfig(num_workers=n)
+    mesh = mesh_lib.make_mesh(mcfg)
+    eng2 = MDGANEngine(small, cfg, num_workers=n, mesh=mesh, mesh_cfg=mcfg)
+    st2 = eng2.init_state(seed=7)
+    out2, m2 = eng2.chunk_fn(2)(st2, eng2.shard_data(shards_np), jnp.asarray(idx))
+
+    for la, lb in zip(jax.tree.leaves(out1.g.params), jax.tree.leaves(out2.g.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m1["mean_d_loss"]),
+                               np.asarray(m2["mean_d_loss"]), rtol=1e-4, atol=1e-5)
+
+    # discriminator swap under the mesh (ppermute-eligible layout)
+    perm = eng2.sample_swap_perm(np.random.default_rng(3))
+    st_sw = eng2.swap(out2, perm)
+    want = jax.tree.map(lambda a: jnp.take(a, jnp.asarray(perm), axis=0),
+                        out2.d.params)
+    for la, lb in zip(jax.tree.leaves(st_sw.d.params), jax.tree.leaves(want)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_shard_map_step_matches_engine(eight_devices):
     """The explicit shard_map + psum formulation must reproduce the engine's
     compiler-sharded step exactly (the BASELINE north-star shape)."""
