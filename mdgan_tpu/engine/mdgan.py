@@ -147,6 +147,13 @@ class MDGANEngine:
         d = state_lib.init_stacked_net(
             self.d_model, prng.lane(key, prng.INIT_D), x, self.d_tx, self.n
         )
+        # one-time chained-BN momentum guard for the fused pair-apply (the
+        # D step's real+fake forward, worker.py:197-203 semantics)
+        state_lib.verify_pair_momentum(
+            self.d_model,
+            jax.tree.map(lambda a: a[0], d.params),
+            jax.tree.map(lambda a: a[0], d.stats),
+            x, prng.lane(key, prng.INIT_D))
         st = MDGANState(g=g, d=d, key=key, step=jnp.int32(0))
         if self.mesh is not None:
             st = self.shard_state(st)

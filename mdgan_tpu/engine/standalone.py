@@ -56,6 +56,9 @@ class StandaloneEngine:
         x = jnp.zeros((b, h, w, c), jnp.float32)
         g = state_lib.init_net(self.g_model, prng.lane(key, prng.INIT_G), z, self.g_tx)
         d = state_lib.init_net(self.d_model, prng.lane(key, prng.INIT_D), x, self.d_tx)
+        # one-time chained-BN momentum guard for the fused pair-apply
+        state_lib.verify_pair_momentum(self.d_model, d.params, d.stats, x,
+                                       prng.lane(key, prng.INIT_D))
         return StandaloneState(g=g, d=d, key=key, step=jnp.int32(0))
 
     def _step(self, st: StandaloneState, data: jax.Array, idx: jax.Array, step_no: jax.Array):

@@ -99,6 +99,68 @@ def apply_train_pair(model: nn.Module, params, stats, x_pair, rng_pair):
     return out2, new_stats
 
 
+# model classes (keyed with their declared momentum) already verified in
+# this process — engines re-init freely without re-paying the check
+_PAIR_MOMENTUM_VERIFIED: set = set()
+
+
+def verify_pair_momentum(model: nn.Module, params, stats, sample_input,
+                         key: jax.Array) -> None:
+    """One-time runtime guard for :func:`apply_train_pair`'s chained-BN update.
+
+    The closed-form ``s2 = m*s1' + sf' - m*s0`` is exact only when ``m`` is
+    the model's TRUE BatchNorm momentum (declared via a ``bn_momentum``
+    attribute, else ``layers.BN_MOMENTUM``).  A custom registry model with a
+    different, undeclared momentum would silently accumulate wrong running
+    stats — so engines call this once at init.
+
+    Method: abstract trace.  ``jax.eval_shape`` runs the model's ``apply``
+    with abstract values — no device compute, no backend init, sub-ms — while
+    a flax method interceptor reads ``momentum`` off every live
+    ``nn.BatchNorm`` submodule (including ones built inside ``nn.compact``).
+    Any recorded momentum != the declared one raises.  Numeric approaches
+    (fused-vs-sequential, EMA estimation) were tried and rejected: eager
+    forwards on a remote/tunneled TPU take minutes, and cross-backend
+    CPU-jit-inside-a-TPU-process proved deadlock-prone on tunneled runtimes.
+    Verified model classes are cached per process.
+    """
+    if not stats:
+        return
+    cache_key = (type(model), getattr(model, "bn_momentum", None))
+    if cache_key in _PAIR_MOMENTUM_VERIFIED:
+        return
+
+    momenta: list = []
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if isinstance(mod, nn.BatchNorm):
+            momenta.append(float(mod.momentum))
+        return next_fun(*args, **kwargs)
+
+    x = jax.ShapeDtypeStruct(jnp.shape(sample_input), jnp.float32)
+    with nn.intercept_methods(interceptor):
+        jax.eval_shape(
+            lambda p, s, xx, kk: apply_train(model, p, s, xx, kk),
+            params, stats, x, key)
+
+    from mdgan_tpu.models.layers import BN_MOMENTUM
+
+    m = getattr(model, "bn_momentum", None)
+    if m is None:
+        m = BN_MOMENTUM
+    bad = sorted({mm for mm in momenta if abs(mm - m) > 1e-6})
+    if bad:
+        raise ValueError(
+            f"{type(model).__name__}: BatchNorm momentum {bad} != declared "
+            f"{m:.4f} — apply_train_pair's chained running-stats update would "
+            "be silently wrong. Set a ``bn_momentum`` class attribute "
+            "matching the momentum used in its BatchNorm layers (see "
+            "engine.state.apply_train_pair)."
+        )
+    _PAIR_MOMENTUM_VERIFIED.add(cache_key)
+
+
 def apply_eval(model: nn.Module, params, stats, x):
     """Eval-mode apply: running-average BN, no dropout."""
     variables = {"params": params}

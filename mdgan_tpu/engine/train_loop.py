@@ -287,6 +287,10 @@ class MDGANTrainer:
             cur += clen
             rounds_done += clen
             e = cur - 1  # just-completed round
+            # label the row by the round whose END it records (the reference
+            # writes one row at the end of round e, server.py:370) — eval/swap
+            # marks then sit on the round they belong to
+            self.logger.mark(epoch=e)
 
             swapped_with = None
             if self.n > 1 and tc.swap_interval > 0 and e > 0 and e % tc.swap_interval == 0:

@@ -160,3 +160,39 @@ def test_apply_train_pair_respects_declared_bn_momentum():
     for la, lb in zip(jax.tree.leaves(stats_ab), jax.tree.leaves(stats_pair)):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_verify_pair_momentum_catches_undeclared_momentum():
+    """The init-time guard (engines call it in init_state) must reject a
+    custom model whose BN momentum differs from layers.BN_MOMENTUM without a
+    ``bn_momentum`` declaration — and accept it once declared."""
+    import pytest
+    from flax import linen as nn
+
+    from mdgan_tpu.engine import state as state_lib
+
+    def make(declared: bool):
+        class CustomBN(nn.Module):
+            if declared:
+                bn_momentum: float = 0.42
+
+            @nn.compact
+            def __call__(self, x, train: bool = True):
+                x = nn.Dense(8)(x)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.42)(x)
+                return x.sum(axis=-1)
+
+        return CustomBN()
+
+    key = jax.random.key(3)
+    x = jax.random.normal(key, (4, 8))
+    for declared in (True, False):
+        model = make(declared)
+        variables = model.init({"params": key}, x, train=True)
+        params, stats = variables["params"], variables["batch_stats"]
+        if declared:
+            state_lib.verify_pair_momentum(model, params, stats, x, key)
+        else:
+            with pytest.raises(ValueError, match="bn_momentum"):
+                state_lib.verify_pair_momentum(model, params, stats, x, key)
