@@ -1,0 +1,131 @@
+"""Regression pins over the committed golden-run artifacts.
+
+The reference commits full run outputs as ground truth
+(``src/logs/mdgan.2.CIFAR10.*.csv``, ``src/results/weights/``,
+``src/results/epochs_images/``); ``artifacts/golden/cifar10_w8_r2000`` is this
+framework's equivalent, recorded on a real TPU chip (see its MANIFEST.md).
+These tests replay the analysis CLI over the committed CSVs and pin the
+parsed statistics, proving (a) the artifacts stay parseable by the tooling and
+(b) the tooling's semantics don't drift.
+"""
+
+import csv
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+GOLDEN = Path(__file__).resolve().parent.parent / "artifacts" / "golden" / "cifar10_w8_r2000"
+SERVER_CSV = GOLDEN / "logs" / "mdgan.8.CIFAR10.server.logs.csv"
+
+pytestmark = pytest.mark.skipif(
+    not SERVER_CSV.exists(), reason="golden artifacts not present")
+
+
+def test_analyze_replays_golden_server_csv():
+    from mdgan_tpu.cli.analyze import analyze_file
+
+    rep = analyze_file(SERVER_CSV)
+    assert rep["rows"] == 21              # 2000 rounds / chunked rows + evals
+    # eval cadence: rounds 0, 300, ..., 1800 plus the final round 1999
+    assert [e for e, _ in rep["fid_curve"]] == [0, 300, 600, 900, 1200, 1500, 1800, 1999]
+    assert rep["ops"]["fid"]["count"] == 8
+    assert rep["ops"]["is"]["count"] == 8
+    assert rep["ops"]["swap"]["count"] == 3      # after rounds 500/1000/1500
+    assert rep["ops"]["agg_gradients"]["count"] == 1  # final checkpoint save
+    assert rep["rounds"] == 2000
+    assert rep["rounds_per_sec"] > 1.0
+    # the trainer's own summary must agree with what analyze re-parses
+    summary = json.loads((GOLDEN / "summary.json").read_text())
+    want = {(e["epoch"], round(e["fid"], 6)) for e in summary["evals"]}
+    got = {(int(e), round(f, 6)) for e, f in rep["fid_curve"]}
+    assert got == want
+    assert rep["best_fid"] == pytest.approx(
+        min(e["fid"] for e in summary["evals"]))
+
+
+def test_golden_worker_csvs_round_level_content():
+    for r in range(1, 9):
+        path = GOLDEN / "logs" / f"mdgan.8.CIFAR10.worker.{r}.logs.csv"
+        rows = list(csv.DictReader(open(path)))
+        assert len(rows) == 2000, path    # one row per round (worker.py:286)
+        swaps = [(int(row["epoch"]), int(row["swap_with"]))
+                 for row in rows if row["swap_with"]]
+        assert [e for e, _ in swaps] == [500, 1000, 1500]
+        for _, partner in swaps:
+            assert 1 <= partner <= 8 and partner != r
+        losses = np.array([float(row["mean_d_loss"]) for row in rows])
+        assert np.isfinite(losses).all()
+        # payload-size accounting (reference worker.py:119-126): 2 fake
+        # batches in, 1 feedback out, CIFAR-10 b=10 fp32
+        assert float(rows[0]["size.recv"]) == pytest.approx(0.234375)
+        assert float(rows[0]["size.sent"]) == pytest.approx(0.1171875)
+        assert float(rows[0]["size.model"]) == pytest.approx(2.5302734375)
+
+
+def test_golden_worker_swaps_are_involutive():
+    """The three committed swaps must each encode a valid non-overlapping
+    pairing across the 8 workers (server.py:321-332 semantics)."""
+    partners = {}  # round -> {worker: partner}
+    for r in range(1, 9):
+        path = GOLDEN / "logs" / f"mdgan.8.CIFAR10.worker.{r}.logs.csv"
+        for row in csv.DictReader(open(path)):
+            if row["swap_with"]:
+                partners.setdefault(int(row["epoch"]), {})[r] = int(row["swap_with"])
+    assert sorted(partners) == [500, 1000, 1500]
+    for mapping in partners.values():
+        assert sorted(mapping) == list(range(1, 9))
+        for w, p in mapping.items():
+            assert mapping[p] == w and p != w
+
+
+def test_golden_final_summary_matches_worker_csvs():
+    summary = json.loads((GOLDEN / "summary.json").read_text())
+    finals = []
+    for r in range(1, 9):
+        rows = list(csv.DictReader(
+            open(GOLDEN / "logs" / f"mdgan.8.CIFAR10.worker.{r}.logs.csv")))
+        assert rows[-1]["epoch"] == "1999"
+        finals.append(float(rows[-1]["mean_d_loss"]))
+    assert np.mean(finals) == pytest.approx(summary["final_mean_d_loss"], rel=1e-6)
+
+
+def test_golden_weights_load_and_generate():
+    """The committed final generator must load through the checkpoint codec
+    and produce images of the right shape/range (gen_images.ipynb path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mdgan_tpu.utils import checkpoint as ckpt_lib
+    from mdgan_tpu.models.dcgan32 import DCGANGenerator32, Z_DIM
+
+    params, stats = ckpt_lib.load_weights_only(GOLDEN / "weights" / "generator_final.npz")
+    model = DCGANGenerator32()
+    z = jax.random.normal(jax.random.key(0), (4, Z_DIM))
+    out, _ = model.apply({"params": params, "batch_stats": stats}, z,
+                         train=True, mutable=["batch_stats"])
+    assert out.shape == (4, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(jnp.abs(out).max()) <= 1.0 + 1e-5  # tanh output
+
+    d_params, d_stats = ckpt_lib.load_weights_only(
+        GOLDEN / "weights" / "worker_1" / "discriminator.npz")
+    assert jax.tree.leaves(d_params) and jax.tree.leaves(d_stats)
+
+
+def test_golden_plots_render(tmp_path):
+    """analyze --plot must render every figure kind from the committed CSVs
+    (the reference's plot_logs.ipynb consumes exactly such files)."""
+    from mdgan_tpu.cli import analyze
+
+    rc = analyze.main([str(SERVER_CSV),
+                       str(GOLDEN / "logs" / "mdgan.8.CIFAR10.worker.1.logs.csv"),
+                       "--plot", str(tmp_path), "--json"])
+    assert rc == 0
+    names = {p.name for p in tmp_path.iterdir()}
+    assert "mdgan.8.CIFAR10.server.ops.png" in names
+    assert "mdgan.8.CIFAR10.server.fid.png" in names
+    assert "mdgan.8.CIFAR10.worker.1.d_loss.png" in names
+    assert "mdgan.8.CIFAR10.worker.1.sizes.png" in names
+    assert "timeline.png" in names
