@@ -64,6 +64,7 @@ def test_full_state_roundtrip_and_bitwise_resume(tmp_path):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_prng_key_survives_roundtrip(tmp_path):
     eng, shards, cfg = _setup()
     st = eng.init_state(seed=5)

@@ -29,6 +29,7 @@ def test_celeba_family_trains():
     assert np.isfinite(np.asarray(m["mean_d_loss"])).all()
 
 
+@pytest.mark.slow
 def test_non_iid_partitions_are_contiguous_and_divergent():
     """non-IID: contiguous arange chunks (server.py:61-63) — workers see
     disjoint, ORDERED slices of the dataset."""
@@ -47,6 +48,7 @@ def test_non_iid_partitions_are_contiguous_and_divergent():
     assert np.isfinite(np.asarray(m["mean_d_loss"])).all()
 
 
+@pytest.mark.slow
 def test_local_epochs_multiple_d_steps():
     """local_epochs L takes L discriminator Adam steps per round
     (worker.py:195-206): the Adam step counter advances L per round."""

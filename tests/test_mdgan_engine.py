@@ -59,6 +59,7 @@ def test_chunk_runs_and_losses_finite():
     assert delta > 0
 
 
+@pytest.mark.slow
 def test_determinism_and_chunking_invariance():
     """Same seed => identical run; 4 steps as 1 chunk == 4 steps as 2+2.
 

@@ -73,6 +73,7 @@ def test_fused_adam_inside_scan():
     assert np.isfinite(np.asarray(p2["w"])).all()
 
 
+@pytest.mark.slow
 def test_engine_fused_matches_optax_engine():
     """Full MD-GAN chunk: use_pallas=True (fused adam, interpret on CPU) must
     match use_pallas=False numerically."""

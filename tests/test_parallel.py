@@ -12,6 +12,7 @@ from mdgan_tpu.engine.mdgan import MDGANEngine
 from mdgan_tpu.parallel.swap import swap_ppermute
 
 
+@pytest.mark.slow
 def test_ppermute_swap_matches_gather(eight_devices):
     n = 8
     mcfg = MeshConfig(num_workers=n)
@@ -163,6 +164,7 @@ def test_stylegan2_multichip_matches_single_device(eight_devices):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+@pytest.mark.slow
 def test_shard_map_step_matches_engine(eight_devices):
     """The explicit shard_map + psum formulation must reproduce the engine's
     compiler-sharded step exactly (the BASELINE north-star shape)."""
