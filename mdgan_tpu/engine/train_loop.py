@@ -136,6 +136,25 @@ class MDGANTrainer:
             self._eval_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="mdgan-eval")
         self._pending_rows: Deque[Tuple[Dict, Optional[Future]]] = deque()
+        # Background worker-CSV writer: row building + IO for the per-round
+        # worker logs happen off the chunk critical path (the host loop is
+        # otherwise idle-blocking on device_get -> write -> dispatch; at 30k
+        # rounds the row work is ~2.6 s of serial host time).  One thread
+        # keeps per-file row order; futures are drained at end of train().
+        self._log_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="mdgan-log")
+        self._log_futs: List[Future] = []
+        # Jitted on-device pytree copy: donation-safe snapshots for the
+        # background eval/checkpoint threads without blocking the host loop
+        # on a device->host transfer (see _snapshot_g/_snapshot_state).
+        self._copy_fn = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+        # Background checkpoint serialization: device_get of a full state
+        # snapshot + orbax IO run off the critical path (measured 10-18 s of
+        # host-loop stall per save on remote-transfer-bound runtimes).  One
+        # thread keeps orbax save ordering; drained at end of train()/close().
+        self._ckpt_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="mdgan-ckpt")
+        self._ckpt_futs: List[Future] = []
 
     # ------------------------------------------------------------------
 
@@ -159,15 +178,26 @@ class MDGANTrainer:
         return self.full_data[idx].astype(np.float32) / 255.0
 
     def _snapshot_g(self):
-        """Host copy of the generator at the current round.
+        """Device-side copy of the generator at the current round.
 
-        ``device_get`` (not a reference) is mandatory: with ``donate=True``
-        the next training chunk invalidates the current state's buffers while
-        the background eval is still reading the snapshot."""
+        A copy (not a reference) is mandatory: with ``donate=True`` the next
+        training chunk invalidates the current state's buffers while the
+        background eval is still reading the snapshot.  The copy is a jitted
+        on-device op dispatched asynchronously, so the host loop never blocks
+        on a device->host transfer here (that cost moves to the eval thread,
+        which also saves re-uploading the params for ``sample_fn``)."""
         from mdgan_tpu.engine.state import NetState
 
-        return NetState(params=jax.device_get(self.state.g.params),
-                        stats=jax.device_get(self.state.g.stats), opt=None)
+        return NetState(params=self._copy_fn(self.state.g.params),
+                        stats=self._copy_fn(self.state.g.stats), opt=None)
+
+    def _snapshot_state(self):
+        """Device-side copy of the FULL train state (checkpoint snapshot).
+
+        Same donation-safety argument as :meth:`_snapshot_g`; lets checkpoint
+        serialization (device_get + orbax IO) run on the background ckpt
+        thread against an immutable snapshot while training continues."""
+        return self._copy_fn(self.state)
 
     def _run_key(self) -> jax.Array:
         return jax.random.wrap_key_data(jnp.asarray(self._key_host))
@@ -244,6 +274,56 @@ class MDGANTrainer:
         return {"fid_standard": fid_std, "is_standard": is_std,
                 "is_standard_std": is_std_dev}
 
+    def _write_worker_rows(self, d_losses: np.ndarray, t0: float, t1: float,
+                           e: int, swapped_with) -> None:
+        """Append per-round worker CSV rows for one finished chunk.
+
+        Runs on the single background log thread (order-preserving).  Device
+        rounds fuse into one scan, so per-round epoch/calc_gradients spans
+        are synthesized as equal slices of the measured chunk span; sent/recv
+        are the per-round payload equivalents the reference measures on the
+        wire (worker.py:119-126: recv = 2 fake batches, sent = feedback).
+        Rows are built as value-lists in fieldname order for the raw-csv fast
+        path (see ``SpanLogger.write_raw_rows``).
+        """
+        n_rows = d_losses.shape[0]
+        dt = (t1 - t0) / max(n_rows, 1)
+        tmpl = self._worker_row_template
+        col = {k: i for i, k in enumerate(tmpl.keys())}
+        base = list(tmpl.values())
+        i_ep = col["epoch"]
+        i_se, i_sc = col["start.epoch"], col["start.calc_gradients"]
+        i_ee, i_ec = col["end.epoch"], col["end.calc_gradients"]
+        i_loss = col["mean_d_loss"]
+        i_recv, i_sent, i_swap = col["size.recv"], col["size.sent"], col["swap_with"]
+        size_recv = 2 * self._payload_mb
+        size_sent = self._payload_mb
+        losses = d_losses.astype(float)
+        for r in range(self.n):
+            rows = []
+            for t in range(n_rows):
+                row = base.copy()
+                row[i_ep] = e - n_rows + 1 + t
+                row[i_se] = row[i_sc] = t0 + t * dt
+                row[i_ee] = row[i_ec] = t0 + (t + 1) * dt
+                row[i_loss] = losses[t, r]
+                row[i_recv] = size_recv
+                row[i_sent] = size_sent
+                rows.append(row)
+            if swapped_with is not None:
+                row = rows[-1]  # the swap lands on round e, the chunk's last
+                row[i_swap] = int(swapped_with[r]) + 1
+                # swap moves a full discriminator state dict each way
+                row[i_recv] = size_recv + tmpl["size.model"]
+                row[i_sent] = size_sent + tmpl["size.model"]
+            self._worker_logs[r].write_raw_rows(rows)
+
+    def _drain_worker_rows(self) -> None:
+        """Wait for all queued worker-row batches; re-raise any writer error."""
+        for fut in self._log_futs:
+            fut.result()
+        self._log_futs.clear()
+
     def _flush_rows(self, block: bool = False) -> None:
         """Write held server rows whose eval marks have arrived, in round
         order.  ``block=True`` drains everything (end of run)."""
@@ -311,49 +391,37 @@ class MDGANTrainer:
                     self._eval_history.append(result)
             if (tc.checkpoint_interval > 0 and e > 0
                     and e % tc.checkpoint_interval == 0) or e == tc.epochs - 1:
-                with self.logger.span("agg_gradients"):  # repurposed: ckpt IO
-                    self.ckpt.save(
-                        e, self.state,
-                        sampler_state=self.sampler.state_dict(),
-                        host_rng_state=ckpt_lib.host_rng_state(self.swap_rng))
+                # repurposed span: ckpt handoff (on-device snapshot + submit).
+                # Serialization itself (device_get + orbax IO) runs on the
+                # ckpt thread against the immutable snapshot, so the span now
+                # measures only the synchronous cost the round actually pays.
+                with self.logger.span("agg_gradients"):
+                    snap = self._snapshot_state()
+                    self._ckpt_futs.append(self._ckpt_pool.submit(
+                        self.ckpt.save, e, snap,
+                        self.sampler.state_dict(),
+                        ckpt_lib.host_rng_state(self.swap_rng)))
             # hold the row until its (async) eval marks land; rows flush in
             # strict round order either way
             self._pending_rows.append((self.logger.take_row(), eval_fut))
             self._flush_rows(block=False)
 
             # one worker-CSV row per ROUND (reference worker.py:286 writes per
-            # round).  Device rounds fuse into one scan, so per-round
-            # epoch/calc_gradients spans are synthesized as equal slices of
-            # the measured chunk span; sent/recv are the per-round payload
-            # equivalents the reference measures on the wire
-            # (worker.py:119-126: recv = 2 fake batches, sent = feedback).
-            d_losses = np.asarray(chunk_metrics["mean_d_loss"])  # (clen, N)
-            n_rows = d_losses.shape[0]
-            dt = (t_chunk1 - t_chunk0) / max(n_rows, 1)
-            size_recv = 2 * self._payload_mb
-            size_sent = self._payload_mb
-            base = self._worker_row_template
-            for r in range(self.n):
-                rows = []
-                for t in range(n_rows):
-                    round_no = e - n_rows + 1 + t
-                    row = dict(base)
-                    row["epoch"] = round_no
-                    row["start.epoch"] = row["start.calc_gradients"] = t_chunk0 + t * dt
-                    row["end.epoch"] = row["end.calc_gradients"] = t_chunk0 + (t + 1) * dt
-                    row["mean_d_loss"] = float(d_losses[t, r])
-                    row["size.recv"] = size_recv
-                    row["size.sent"] = size_sent
-                    if swapped_with is not None and round_no == e:
-                        row["swap_with"] = int(swapped_with[r]) + 1
-                        # swap moves a full discriminator state dict each way
-                        row["size.recv"] += base["size.model"]
-                        row["size.sent"] += base["size.model"]
-                    rows.append(row)
-                self._worker_logs[r].write_many(rows)
+            # round).  Row building + IO run on the background log thread so
+            # the host loop goes straight back to dispatching the next chunk.
+            self._log_futs.append(self._log_pool.submit(
+                self._write_worker_rows,
+                np.asarray(chunk_metrics["mean_d_loss"]),  # (clen, N)
+                t_chunk0, t_chunk1, e, swapped_with))
 
-        # drain background evals so summary/CSV are complete and ordered
+        # drain background evals + worker-row writes + checkpoint saves so
+        # summary/CSVs/checkpoints are complete and ordered before train()
+        # returns
         self._flush_rows(block=True)
+        self._drain_worker_rows()
+        for fut in self._ckpt_futs:
+            fut.result()
+        self._ckpt_futs.clear()
 
         # final weights exports (reference server.py:372-375, worker.py:289-293)
         ckpt_lib.save_weights_only(Path(tc.weights_dir) / "generator_final.npz",
@@ -386,6 +454,18 @@ class MDGANTrainer:
             self._flush_rows(block=True)
         except Exception:  # an eval future may re-raise; don't mask close()
             log.exception("pending eval failed during close()")
+        self._log_pool.shutdown(wait=True)  # drain queued worker-row writes
+        try:
+            self._drain_worker_rows()
+        except Exception:
+            log.exception("pending worker-row write failed during close()")
+        self._ckpt_pool.shutdown(wait=True)  # drain queued checkpoint saves
+        for fut in self._ckpt_futs:
+            try:
+                fut.result()
+            except Exception:
+                log.exception("pending checkpoint save failed during close()")
+        self._ckpt_futs.clear()
         self.logger.close()
         for wl in self._worker_logs:
             wl.close()

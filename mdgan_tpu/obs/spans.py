@@ -116,6 +116,16 @@ class SpanLogger:
         self._writer.writerows(rows)
         self._file.flush()
 
+    def write_raw_rows(self, rows: List[List]) -> None:
+        """Bulk append value-lists already in fieldname order.
+
+        Fast path for high-volume per-round logs (30k rounds x N workers):
+        a plain ``csv.writer`` skips DictWriter's per-row key mapping
+        (~10x less host time for identical output; None still renders "").
+        """
+        csv.writer(self._file).writerows(rows)
+        self._file.flush()
+
     def end_row(self) -> None:
         self.write_row(self.take_row())
 
