@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_examples", type=int, default=None)
     # TPU-native knobs
     p.add_argument("--chunk_size", type=int, default=100)
+    p.add_argument("--scan_unroll", type=int, default=1,
+                   help="lax.scan unroll factor for the fused chunk")
     p.add_argument("--compute_dtype", choices=["bfloat16", "float32"],
                    default="bfloat16")
     p.add_argument("--no_pallas", action="store_true",
@@ -93,6 +95,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         discriminator_opt=OptimizerConfig(lr=args.discriminator_lr,
                                           beta_1=args.beta_1, beta_2=args.beta_2),
         chunk_size=args.chunk_size,
+        scan_unroll=args.scan_unroll,
         compute_dtype=args.compute_dtype,
         use_pallas=not args.no_pallas,
         fused_adam=args.fused_adam,

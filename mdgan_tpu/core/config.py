@@ -99,6 +99,11 @@ class TrainConfig:
     # Steps fused into one on-device lax.scan before returning to host.
     # The host loop clips chunks at swap/log boundaries, so any value is safe.
     chunk_size: int = 100
+    # lax.scan unroll factor for the fused chunk: replicates the round body
+    # so XLA can pipeline across rounds (tiny per-round programs are
+    # launch/latency-bound).  Chunk lengths not divisible by the factor fall
+    # back to unroll=1 for that compile.
+    scan_unroll: int = 1
     # Computation dtype for conv/matmul paths ("bfloat16" | "float32").
     # Params and Adam state are always float32.
     compute_dtype: str = "bfloat16"

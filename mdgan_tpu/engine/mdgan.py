@@ -447,7 +447,11 @@ class MDGANEngine:
                     idx, s = xs
                     return self._step(carry, data, idx, s)
 
-                return jax.lax.scan(body, st, (idx_chunk, steps))
+                unroll = self.cfg.scan_unroll
+                if num_steps % max(unroll, 1) != 0:
+                    unroll = 1
+                return jax.lax.scan(body, st, (idx_chunk, steps),
+                                    unroll=max(unroll, 1))
 
             self._chunk_fns[num_steps] = jax.jit(
                 run_chunk, donate_argnums=(0,) if self.cfg.donate else ()

@@ -240,8 +240,13 @@ class MDGANTrainer:
             result.update(self._evaluate_standard(epoch, g))
             marks.update(fid_standard=result["fid_standard"],
                          is_standard=result["is_standard"])
-        ckpt_lib.save_weights_only(
-            Path(tc.weights_dir) / f"generator_{epoch}.npz", g.params, g.stats)
+        # per-eval generator export (reference weights cadence) rides the log
+        # IO thread: the device_get + npz write overlap with the next eval's
+        # metric computation instead of serializing the eval queue (g is an
+        # immutable device-side snapshot, so any thread may read it)
+        self._log_futs.append(self._log_pool.submit(
+            ckpt_lib.save_weights_only,
+            Path(tc.weights_dir) / f"generator_{epoch}.npz", g.params, g.stats))
         log.info("eval @ %d: fid=%.2f is=%.3f", epoch, fid, is_mean)
         return marks, result
 
@@ -274,19 +279,34 @@ class MDGANTrainer:
         return {"fid_standard": fid_std, "is_standard": is_std,
                 "is_standard_std": is_std_dev}
 
-    def _write_worker_rows(self, d_losses: np.ndarray, t0: float, t1: float,
-                           e: int, swapped_with) -> None:
-        """Append per-round worker CSV rows for one finished chunk.
+    def _write_worker_rows(self, metrics_dev, t0: float, e: int,
+                           swapped_with, server_row: Optional[Dict]) -> None:
+        """Fetch one chunk's metrics and append its per-round worker CSV rows.
 
-        Runs on the single background log thread (order-preserving).  Device
-        rounds fuse into one scan, so per-round epoch/calc_gradients spans
-        are synthesized as equal slices of the measured chunk span; sent/recv
-        are the per-round payload equivalents the reference measures on the
-        wire (worker.py:119-126: recv = 2 fake batches, sent = feedback).
-        Rows are built as value-lists in fieldname order for the raw-csv fast
-        path (see ``SpanLogger.write_raw_rows``).
+        Runs on the single background log thread (order-preserving).  The
+        ``device_get`` of the chunk metrics happens HERE, so the device->host
+        transfer (a full round trip on remote/tunneled runtimes) overlaps the
+        next chunk's compute instead of serializing the host loop; the main
+        loop throttles itself to a bounded number of un-fetched chunks.
+        Completion time is stamped back onto the held ``server_row`` (written
+        only after this returns — see ``_flush_rows``), keeping the
+        epoch/calc_gradients spans equal to the real chunk wall time.
+
+        Device rounds fuse into one scan, so per-round epoch/calc_gradients
+        spans are synthesized as equal slices of the measured chunk span;
+        sent/recv are the per-round payload equivalents the reference
+        measures on the wire (worker.py:119-126: recv = 2 fake batches,
+        sent = feedback).  Rows are built as value-lists in fieldname order
+        for the raw-csv fast path (see ``SpanLogger.write_raw_rows``).
         """
+        d_losses = np.asarray(metrics_dev["mean_d_loss"])  # (clen, N); blocks
+        t1 = time.time()
         n_rows = d_losses.shape[0]
+        self._last_d_loss = float(np.mean(d_losses[-1]))
+        if server_row is not None:
+            server_row["end.calc_gradients"] = t1
+            server_row["end.epoch_calculation"] = t1
+            server_row["end.epoch"] = max(t1, server_row.get("end.epoch") or t1)
         dt = (t1 - t0) / max(n_rows, 1)
         tmpl = self._worker_row_template
         col = {k: i for i, k in enumerate(tmpl.keys())}
@@ -325,10 +345,16 @@ class MDGANTrainer:
         self._log_futs.clear()
 
     def _flush_rows(self, block: bool = False) -> None:
-        """Write held server rows whose eval marks have arrived, in round
-        order.  ``block=True`` drains everything (end of run)."""
+        """Write held server rows whose eval marks AND chunk-metrics fetch
+        have arrived, in round order.  ``block=True`` drains everything
+        (end of run)."""
         while self._pending_rows:
-            row, fut = self._pending_rows[0]
+            row, fut, metrics_fut = self._pending_rows[0]
+            if metrics_fut is not None:
+                # the log thread stamps the row's real chunk-completion spans
+                if not block and not metrics_fut.done():
+                    return
+                metrics_fut.result()
             if fut is not None:
                 if not block and not fut.done():
                     return
@@ -343,9 +369,9 @@ class MDGANTrainer:
     def train(self) -> Dict:
         tc = self.cfg.train
         cur = int(self.state.step)
-        chunk_metrics = None
         t_start = time.time()
         rounds_done = 0
+        inflight: Deque[Future] = deque()  # un-fetched chunk metrics
         while cur < tc.epochs:
             event_end = _next_event(cur, tc.epochs, tc.swap_interval, tc.log_interval,
                                     self.n, tc.checkpoint_interval)
@@ -357,13 +383,11 @@ class MDGANTrainer:
                 with self.logger.span("generate_data"):
                     pass  # fused into the jitted step (see module docstring)
                 with self.logger.span("calc_gradients"):
+                    # async dispatch; the log thread fetches the metrics and
+                    # back-fills this row's end timestamps (_write_worker_rows)
                     t_chunk0 = time.time()
-                    self.state, chunk_metrics = self.engine.chunk_fn(clen)(
+                    self.state, chunk_metrics_dev = self.engine.chunk_fn(clen)(
                         self.state, self.shards, idx)
-                    # device_get (not block_until_ready) guarantees completion
-                    # on remote/tunneled TPU runtimes
-                    chunk_metrics = jax.device_get(chunk_metrics)
-                    t_chunk1 = time.time()
             cur += clen
             rounds_done += clen
             e = cur - 1  # just-completed round
@@ -401,18 +425,23 @@ class MDGANTrainer:
                         self.ckpt.save, e, snap,
                         self.sampler.state_dict(),
                         ckpt_lib.host_rng_state(self.swap_rng)))
-            # hold the row until its (async) eval marks land; rows flush in
-            # strict round order either way
-            self._pending_rows.append((self.logger.take_row(), eval_fut))
+            # hold the row until its metrics fetch + (async) eval marks land;
+            # rows flush in strict round order either way.  Worker-CSV rows
+            # (one per ROUND, reference worker.py:286) are built and written
+            # by the log thread after it fetches this chunk's metrics.
+            row = self.logger.take_row()
+            metrics_fut = self._log_pool.submit(
+                self._write_worker_rows, chunk_metrics_dev, t_chunk0, e,
+                swapped_with, row)
+            self._log_futs.append(metrics_fut)
+            self._pending_rows.append((row, eval_fut, metrics_fut))
             self._flush_rows(block=False)
 
-            # one worker-CSV row per ROUND (reference worker.py:286 writes per
-            # round).  Row building + IO run on the background log thread so
-            # the host loop goes straight back to dispatching the next chunk.
-            self._log_futs.append(self._log_pool.submit(
-                self._write_worker_rows,
-                np.asarray(chunk_metrics["mean_d_loss"]),  # (clen, N)
-                t_chunk0, t_chunk1, e, swapped_with))
+            # pipeline throttle: at most 2 chunks may be dispatched ahead of
+            # their metrics fetch (bounds device queue depth + host memory)
+            inflight.append(metrics_fut)
+            if len(inflight) > 2:
+                inflight.popleft().result()
 
         # drain background evals + worker-row writes + checkpoint saves so
         # summary/CSVs/checkpoints are complete and ordered before train()
@@ -439,8 +468,7 @@ class MDGANTrainer:
             "rounds": rounds_done,
             "wall_time_s": wall,
             "steps_per_sec": rounds_done / wall if wall > 0 else 0.0,
-            "final_mean_d_loss": float(np.mean(np.asarray(chunk_metrics["mean_d_loss"][-1])))
-            if chunk_metrics is not None else None,
+            "final_mean_d_loss": getattr(self, "_last_d_loss", None),
             "evals": self._eval_history,
         }
         log.info("done: %s", summary)

@@ -198,3 +198,37 @@ def test_verify_pair_momentum_catches_undeclared_momentum():
         else:
             with pytest.raises(ValueError, match="bn_momentum"):
                 state_lib.verify_pair_momentum(model, params, stats, x, key)
+
+
+def test_scan_unroll_matches_unroll1():
+    """cfg.scan_unroll replicates the round body for XLA pipelining; it must
+    be numerics-invariant (same chunk, unroll 1 vs 4), and non-divisible
+    chunk lengths must fall back cleanly."""
+    spec = get_spec("SyntheticMNIST")
+    data, _ = spec.load("data", max_examples=64)
+    shards, _ = shard_data(data, 2, iid=True, seed=0)
+    sampler = ShardSampler(2, shards.shape[1], 2, seed=0)
+    idx = sampler.next_chunk(4)
+
+    outs = []
+    for unroll in (1, 4):
+        cfg = TrainConfig(batch_size=2, chunk_size=4, compute_dtype="float32",
+                          donate=False, scan_unroll=unroll)
+        eng = MDGANEngine(spec, cfg, num_workers=2)
+        st = eng.init_state(seed=3)
+        st, m = eng.chunk_fn(4)(st, jnp.asarray(shards), jnp.asarray(idx))
+        outs.append((st, m))
+    (st1, m1), (st4, m4) = outs
+    np.testing.assert_array_equal(np.asarray(m1["mean_d_loss"]),
+                                  np.asarray(m4["mean_d_loss"]))
+    for la, lb in zip(jax.tree.leaves(st1.g.params), jax.tree.leaves(st4.g.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    # chunk length 3 not divisible by unroll 4 -> silently uses unroll=1
+    cfg = TrainConfig(batch_size=2, chunk_size=3, compute_dtype="float32",
+                      donate=False, scan_unroll=4)
+    eng = MDGANEngine(spec, cfg, num_workers=2)
+    st = eng.init_state(seed=3)
+    st, m = eng.chunk_fn(3)(st, jnp.asarray(shards),
+                            jnp.asarray(sampler.next_chunk(3)))
+    assert np.isfinite(np.asarray(m["mean_d_loss"])).all()
