@@ -83,6 +83,15 @@ class MDGANTrainer:
             raise ValueError(
                 f"num_workers={self.n} must be even when discriminator swaps "
                 "are enabled (set --swap_interval 0 to disable)")
+        # The trainer's host loop assumes every device is addressable from
+        # this process (it fetches worker-sharded metrics and dispatches eval
+        # programs from background threads).  Multi-host (jax.distributed)
+        # runs drive the ENGINE directly with per-process data and replicated
+        # outputs — see tests/multihost_driver.py for the working pattern.
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "MDGANTrainer is single-controller; for multi-host runs "
+                "drive MDGANEngine directly (tests/multihost_driver.py)")
         mesh = None
         if jax.device_count() > 1:
             mesh = mesh_lib.make_mesh(run_cfg.mesh)
@@ -135,7 +144,10 @@ class MDGANTrainer:
         if tc.async_eval:
             self._eval_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="mdgan-eval")
-        self._pending_rows: Deque[Tuple[Dict, Optional[Future]]] = deque()
+        self._eval_backlog: Deque[Future] = deque()
+        # (server row, eval future, chunk-metrics future) per finished chunk
+        self._pending_rows: Deque[
+            Tuple[Dict, Optional[Future], Optional[Future]]] = deque()
         # Background worker-CSV writer: row building + IO for the per-round
         # worker logs happen off the chunk critical path (the host loop is
         # otherwise idle-blocking on device_get -> write -> dispatch; at 30k
@@ -303,7 +315,15 @@ class MDGANTrainer:
         t1 = time.time()
         n_rows = d_losses.shape[0]
         self._last_d_loss = float(np.mean(d_losses[-1]))
+        # With up to 2 chunks dispatched ahead, t0 (dispatch) predates this
+        # chunk's actual execution window.  The device runs chunks serially,
+        # so the previous chunk's completion is this one's true start: clamp
+        # to keep per-chunk rows non-overlapping and span stats honest.
+        t0 = max(t0, getattr(self, "_prev_chunk_end", 0.0))
+        self._prev_chunk_end = t1
         if server_row is not None:
+            server_row["start.calc_gradients"] = t0
+            server_row["start.epoch_calculation"] = t0
             server_row["end.calc_gradients"] = t1
             server_row["end.epoch_calculation"] = t1
             server_row["end.epoch"] = max(t1, server_row.get("end.epoch") or t1)
@@ -408,7 +428,13 @@ class MDGANTrainer:
             if (tc.log_interval > 0 and e % tc.log_interval == 0) or e == tc.epochs - 1:
                 g_snap = self._snapshot_g()
                 if self._eval_pool is not None:
+                    # backpressure: each queued eval holds a device-side
+                    # generator snapshot; if eval wall time exceeds the
+                    # cadence, block rather than accumulate snapshots in HBM
+                    while len(self._eval_backlog) >= 4:
+                        self._eval_backlog.popleft().result()
                     eval_fut = self._eval_pool.submit(self._evaluate_work, e, g_snap)
+                    self._eval_backlog.append(eval_fut)
                 else:
                     marks, result = self._evaluate_work(e, g_snap)
                     self.logger.mark(**marks)
@@ -447,6 +473,7 @@ class MDGANTrainer:
         # summary/CSVs/checkpoints are complete and ordered before train()
         # returns
         self._flush_rows(block=True)
+        self._eval_backlog.clear()
         self._drain_worker_rows()
         for fut in self._ckpt_futs:
             fut.result()

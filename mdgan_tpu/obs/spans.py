@@ -111,11 +111,6 @@ class SpanLogger:
         self._writer.writerow(row)
         self._file.flush()
 
-    def write_many(self, rows: List[Dict]) -> None:
-        """Bulk append fully-formed rows (one flush for the whole batch)."""
-        self._writer.writerows(rows)
-        self._file.flush()
-
     def write_raw_rows(self, rows: List[List]) -> None:
         """Bulk append value-lists already in fieldname order.
 
