@@ -13,6 +13,13 @@ Data placement note for multi-host: build each host's worker shards with
 ``jax.make_array_from_process_local_data`` (or device_put per local shard) so
 each host only materializes its local slice; the stacked-array engine is
 agnostic to how the arrays were assembled.
+
+Scope note: multi-host runs drive ``MDGANEngine`` directly (the working
+2-process pattern is ``tests/multihost_driver.py``).  The convenience
+``MDGANTrainer`` host loop is single-controller — it fetches worker-sharded
+metrics and dispatches eval programs from background threads, both of which
+assume all devices are addressable — and refuses to start under
+``jax.process_count() > 1``.
 """
 
 from __future__ import annotations
