@@ -215,13 +215,32 @@ def bench_sustained(rounds: int = 6000) -> dict:
     }
 
 
+def bench_scaling() -> list:
+    """Worker-count scaling sweep on the CIFAR-10 kernel config.
+
+    The reference's round time grows ~linearly in N (network-bound: its
+    20-worker GCE run is 2.1x slower than 2-worker local). Here N multiplies
+    on-device batch work until the MXU/HBM saturates — this sweep measures
+    that curve on one chip (REPORT.md §4 scaling shape).
+    """
+    out = []
+    for n_workers in (2, 4, 8, 16, 32):
+        CONFIGS["_scaling"] = ("CIFAR10", n_workers, 10, 500, 6, 50000)
+        r = bench_mdgan("_scaling")
+        r["metric"] = "mdgan_cifar10_scaling_steps_per_sec"
+        out.append(r)
+    del CONFIGS["_scaling"]
+    return out
+
+
 def main() -> None:
     from mdgan_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="headline",
-                   choices=list(CONFIGS) + ["standalone", "sustained", "all"])
+                   choices=list(CONFIGS) + ["standalone", "sustained",
+                                            "scaling", "all"])
     p.add_argument("--sustained", action="store_true",
                    help="alias for --config sustained (times the real "
                         "trainer loop incl. all host overheads)")
@@ -237,6 +256,9 @@ def main() -> None:
         print(json.dumps(bench_standalone()))
     elif args.config == "sustained":
         print(json.dumps(bench_sustained()))
+    elif args.config == "scaling":
+        for row in bench_scaling():
+            print(json.dumps(row))
     else:
         print(json.dumps(bench_mdgan(args.config)))
 
