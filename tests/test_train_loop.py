@@ -153,3 +153,27 @@ def test_cli_flag_surface():
     assert not cfg.data.iid
     assert cfg.train.generator_opt.beta_1 == 0.5
     assert cfg.train.discriminator_opt.lr == 2e-3
+
+
+def test_standard_protocol_in_trainer(tmp_path, stub_inception):
+    """--eval_n_samples > 0 must add fid_standard/is_standard to every eval
+    record and to the server CSV columns (the rebuild's superset protocol,
+    BASELINE.md), alongside the reference 5-sample numbers."""
+    import csv
+
+    argv = ["--mode", "mdgan", "--num_workers", "2", "--epochs", "4",
+            "--batch_size", "2", "--chunk_size", "2", "--swap_interval", "0",
+            "--log_interval", "2", "--checkpoint_interval", "0",
+            "--eval_n_samples", "16"]
+    tr = MDGANTrainer(_cfg(tmp_path, argv))
+    summary = tr.train()
+    tr.close()
+    assert len(summary["evals"]) == 3  # rounds 0, 2, 3
+    for rec in summary["evals"]:
+        assert rec["fid"] == 123.0
+        assert "fid_standard" in rec and "is_standard" in rec
+        assert np.isfinite(rec["fid_standard"])
+    rows = list(csv.DictReader(
+        open(tmp_path / "logs" / "mdgan.2.SyntheticMNIST.server.logs.csv")))
+    vals = [r["fid_standard"] for r in rows if r["fid_standard"]]
+    assert len(vals) == 3
