@@ -177,3 +177,75 @@ def test_standard_protocol_in_trainer(tmp_path, stub_inception):
         open(tmp_path / "logs" / "mdgan.2.SyntheticMNIST.server.logs.csv")))
     vals = [r["fid_standard"] for r in rows if r["fid_standard"]]
     assert len(vals) == 3
+
+
+def test_chunk_schedule_randomized_invariants():
+    """Property test over the host chunk scheduler: replaying _next_event's
+    clipping must cover every round exactly once and place every swap, eval,
+    and checkpoint boundary at a chunk END (the invariant the fused scan
+    relies on: host events only fire between chunks)."""
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        epochs = int(rng.integers(1, 400))
+        chunk = int(rng.integers(1, 64))
+        swap = int(rng.choice([0, rng.integers(1, 100)]))
+        log_i = int(rng.choice([0, rng.integers(1, 100)]))
+        ck = int(rng.choice([0, rng.integers(1, 150)]))
+        n_workers = int(rng.choice([1, 2, 8]))
+
+        cur, ends = 0, []
+        while cur < epochs:
+            event_end = _next_event(cur, epochs, swap, log_i, n_workers, ck)
+            clen = min(chunk, event_end - cur + 1, epochs - cur)
+            assert clen >= 1, (epochs, chunk, swap, log_i, ck, cur)
+            cur += clen
+            ends.append(cur - 1)
+        assert cur == epochs  # every round covered exactly once
+        boundary = set(ends)
+        for e in range(epochs):
+            is_swap = n_workers > 1 and swap > 0 and e > 0 and e % swap == 0
+            is_log = (log_i > 0 and e % log_i == 0) or e == epochs - 1
+            is_ck = (ck > 0 and e > 0 and e % ck == 0) or e == epochs - 1
+            if is_swap or is_log or is_ck:
+                assert e in boundary, (
+                    f"event round {e} not a chunk end "
+                    f"(epochs={epochs} chunk={chunk} swap={swap} "
+                    f"log={log_i} ck={ck} N={n_workers} ends={ends[:20]})")
+
+
+def test_eval_backpressure_bounds_queue(tmp_path, monkeypatch):
+    """A slow eval must not accumulate unbounded snapshots: the trainer blocks
+    once 4 evals are outstanding (each queued eval pins a device-side
+    generator copy in HBM)."""
+    import time as time_mod
+
+    import mdgan_tpu.metrics.fid as fid_mod
+
+    class SlowTracker:
+        def __init__(self, real):
+            pass
+
+        def score(self, fakes):
+            time_mod.sleep(0.3)
+            return 1.0
+
+    monkeypatch.setattr(fid_mod, "FIDTracker", SlowTracker)
+    monkeypatch.setattr(fid_mod, "inception_score", lambda imgs, splits=1: (1.0, 0.0))
+
+    argv = ["--mode", "mdgan", "--num_workers", "2", "--epochs", "20",
+            "--batch_size", "2", "--chunk_size", "1", "--swap_interval", "0",
+            "--log_interval", "1", "--checkpoint_interval", "0"]
+    tr = MDGANTrainer(_cfg(tmp_path, argv))
+    max_seen = 0
+    orig_submit = tr._eval_pool.submit
+
+    def watching_submit(*a, **kw):
+        nonlocal max_seen
+        max_seen = max(max_seen, len(tr._eval_backlog))
+        return orig_submit(*a, **kw)
+
+    tr._eval_pool.submit = watching_submit
+    summary = tr.train()
+    tr.close()
+    assert len(summary["evals"]) == 20
+    assert max_seen <= 4, max_seen
