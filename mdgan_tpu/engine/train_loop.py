@@ -567,6 +567,9 @@ class StandaloneTrainer:
                 metrics = jax.device_get(metrics)
             cur += clen
             e = cur - 1
+            # label the row by the round whose END it records (reference
+            # standalone_gan.py logs at end of round e), matching MDGANTrainer
+            self.logger.mark(epoch=e)
             if (tc.log_interval > 0 and e % tc.log_interval == 0) or e == tc.epochs - 1:
                 fakes = self.engine.sample_fn(max(16, tc.n_samples))(
                     self.state.g, prng.for_step(self.state.key, prng.EVAL, jnp.int32(e)))

@@ -129,3 +129,43 @@ def test_golden_plots_render(tmp_path):
     assert "mdgan.8.CIFAR10.worker.1.d_loss.png" in names
     assert "mdgan.8.CIFAR10.worker.1.sizes.png" in names
     assert "timeline.png" in names
+
+
+GOLDEN_SA = GOLDEN.parent / "cifar10_standalone_r2000"
+
+
+def test_standalone_golden_csv_and_summary():
+    """Standalone golden run (the reference commits CIFAR10.standalone
+    weights/logs too): eval cadence, row labeling by round END, and summary
+    cross-consistency."""
+    rows = list(csv.DictReader(open(GOLDEN_SA / "logs" / "CIFAR10.standalone.logs.csv")))
+    assert len(rows) == 21
+    evals = [(int(r["epoch"]), float(r["fid"])) for r in rows if r["fid"]]
+    assert [e for e, _ in evals] == [0, 300, 600, 900, 1200, 1500, 1800, 1999]
+    summary = json.loads((GOLDEN_SA / "summary.json").read_text())
+    want = {(e["epoch"], round(e["fid"], 6)) for e in summary["evals"]}
+    assert {(e, round(f, 6)) for e, f in evals} == want
+    assert summary["rounds"] == 2000
+    assert np.isfinite(summary["final_mean_g_loss"])
+
+
+def test_standalone_golden_weights_generate():
+    """netG/netD exports (reference standalone_gan.py naming) must load and
+    produce valid images."""
+    import jax
+    import jax.numpy as jnp
+
+    from mdgan_tpu.models.dcgan32 import DCGANGenerator32, Z_DIM
+    from mdgan_tpu.utils import checkpoint as ckpt_lib
+
+    params, stats = ckpt_lib.load_weights_only(
+        GOLDEN_SA / "weights" / "netG_epoch_1999.npz")
+    model = DCGANGenerator32()
+    z = jax.random.normal(jax.random.key(1), (4, Z_DIM))
+    out, _ = model.apply({"params": params, "batch_stats": stats}, z,
+                         train=True, mutable=["batch_stats"])
+    assert out.shape == (4, 32, 32, 3)
+    assert float(jnp.abs(out).max()) <= 1.0 + 1e-5
+    d_params, d_stats = ckpt_lib.load_weights_only(
+        GOLDEN_SA / "weights" / "netD_epoch_1999.npz")
+    assert jax.tree.leaves(d_params) and jax.tree.leaves(d_stats)
