@@ -10,6 +10,8 @@ Usage:
         --weights weights/generator_final.npz --num 100 --out grid.png
     python -m mdgan_tpu.cli.generate --dataset CIFAR10 \
         --weights_glob 'weights/generator_*.npz' --filmstrip progress.png
+    python -m mdgan_tpu.cli.generate --dataset CIFAR10 \
+        --checkpoint checkpoints/mdgan.8.CIFAR10 --num 64 --out grid.png
 """
 
 from __future__ import annotations
@@ -36,6 +38,27 @@ def _sample(spec, params, stats, num: int, seed: int) -> np.ndarray:
     return np.asarray(losses.denormalize_to_unit(out))
 
 
+def _load_from_checkpoint(directory: str, step: int | None):
+    """Generator params/stats out of a full training checkpoint.
+
+    Restores the raw name-keyed state dict (no template needed — flax
+    ``model.apply`` consumes plain nested dicts) and picks the generator
+    subtree; works for both trainer modes since each stores ``state.g``
+    (``utils/checkpoint.CheckpointManager.save`` layout).
+    """
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(Path(directory).absolute())
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint steps under {directory}")
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(None))
+    g = restored["state"]["g"]
+    print(f"loaded generator from step {step} of {directory}")
+    return g["params"], g["stats"]
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", type=str, default="CIFAR10")
@@ -43,6 +66,12 @@ def main(argv=None) -> int:
                    help="single generator npz (save_weights_only format)")
     p.add_argument("--weights_glob", type=str, default=None,
                    help="glob over generator_<epoch>.npz for --filmstrip")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="full orbax checkpoint directory from training "
+                        "(e.g. checkpoints/mdgan.8.CIFAR10); samples from "
+                        "the generator inside the latest (or --step) save")
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step to load (default: latest)")
     p.add_argument("--num", type=int, default=100)
     p.add_argument("--nrow", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
@@ -70,9 +99,13 @@ def main(argv=None) -> int:
         print(f"wrote {args.filmstrip} ({len(frames)} frames)")
         return 0
 
-    if not args.weights:
-        raise SystemExit("--weights is required (or use --filmstrip)")
-    params, stats = ckpt_lib.load_weights_only(args.weights)
+    if args.checkpoint:
+        params, stats = _load_from_checkpoint(args.checkpoint, args.step)
+    elif args.weights:
+        params, stats = ckpt_lib.load_weights_only(args.weights)
+    else:
+        raise SystemExit(
+            "--weights or --checkpoint is required (or use --filmstrip)")
     imgs = _sample(spec, params, stats, args.num, args.seed)
     images_lib.save_image_grid(imgs, args.out, nrow=args.nrow)
     print(f"wrote {args.out} ({args.num} samples)")

@@ -249,3 +249,22 @@ def test_eval_backpressure_bounds_queue(tmp_path, monkeypatch):
     tr.close()
     assert len(summary["evals"]) == 20
     assert max_seen <= 4, max_seen
+
+
+def test_generate_from_full_checkpoint(tmp_path, stub_inception):
+    """cli/generate --checkpoint must sample from the generator inside a
+    full orbax training checkpoint (no weights-only npz needed)."""
+    argv = ["--mode", "mdgan", "--num_workers", "2", "--epochs", "4",
+            "--batch_size", "2", "--chunk_size", "2", "--swap_interval", "0",
+            "--log_interval", "0", "--checkpoint_interval", "2"]
+    tr = MDGANTrainer(_cfg(tmp_path, argv))
+    tr.train()
+    tr.close()
+
+    from mdgan_tpu.cli import generate
+
+    out = tmp_path / "from_ckpt.png"
+    rc = generate.main(["--dataset", "SyntheticMNIST",
+                        "--checkpoint", str(tmp_path / "ckpt" / "mdgan.2.SyntheticMNIST"),
+                        "--num", "4", "--nrow", "2", "--out", str(out)])
+    assert rc == 0 and out.exists() and out.stat().st_size > 0
