@@ -155,6 +155,7 @@ def test_cli_flag_surface():
     assert cfg.train.discriminator_opt.lr == 2e-3
 
 
+@pytest.mark.slow
 def test_standard_protocol_in_trainer(tmp_path, stub_inception):
     """--eval_n_samples > 0 must add fid_standard/is_standard to every eval
     record and to the server CSV columns (the rebuild's superset protocol,
@@ -251,6 +252,7 @@ def test_eval_backpressure_bounds_queue(tmp_path, monkeypatch):
     assert max_seen <= 4, max_seen
 
 
+@pytest.mark.slow
 def test_generate_from_full_checkpoint(tmp_path, stub_inception):
     """cli/generate --checkpoint must sample from the generator inside a
     full orbax training checkpoint (no weights-only npz needed)."""
