@@ -201,6 +201,75 @@ def plot_timeline(paths: List[Path], out_path: Path, max_rows: int = 10) -> bool
     return True
 
 
+HOST_COLUMNS = ("time", "cpu_percent", "mem_used_mb")
+
+
+def is_host_csv(path: Path) -> bool:
+    """A ``--host_metrics`` CSV (obs/hostmon.py), not a span CSV."""
+    with open(path, encoding="utf-8") as f:
+        header = f.readline().strip().split(",")
+    return all(c in header for c in HOST_COLUMNS)
+
+
+def analyze_host_file(path: Path) -> dict:
+    """Summary stats over a host-metrics CSV — the reference's
+    ``gce_stats/gce_stats.ipynb`` reduction (cpu/mem/net per run)."""
+    import csv as csv_mod
+
+    rows = list(csv_mod.DictReader(open(path, encoding="utf-8")))
+    t = np.array([float(r["time"]) for r in rows])
+    cpu = np.array([float(r["cpu_percent"]) for r in rows])
+    mem = np.array([float(r["mem_used_mb"]) for r in rows])
+    rx = np.array([float(r["net_recv_mb"]) for r in rows])
+    tx = np.array([float(r["net_sent_mb"]) for r in rows])
+    return {
+        "file": str(path), "rows": len(rows), "kind": "host_metrics",
+        "duration_s": float(t[-1] - t[0]) if len(t) > 1 else 0.0,
+        "cpu_mean_pct": float(cpu.mean()), "cpu_max_pct": float(cpu.max()),
+        "mem_mean_mb": float(mem.mean()), "mem_max_mb": float(mem.max()),
+        "net_recv_mb": float(rx[-1] - rx[0]) if len(rx) > 1 else 0.0,
+        "net_sent_mb": float(tx[-1] - tx[0]) if len(tx) > 1 else 0.0,
+    }
+
+
+def plot_host_file(path: Path, out_dir: Path) -> bool:
+    """cpu%/memory/net-rate curves (gce_stats.ipynb figure kinds)."""
+    import csv as csv_mod
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = list(csv_mod.DictReader(open(path, encoding="utf-8")))
+    if len(rows) < 2:
+        return False
+    t = np.array([float(r["time"]) for r in rows])
+    t_rel = t - t[0]
+    cpu = np.array([float(r["cpu_percent"]) for r in rows])
+    mem = np.array([float(r["mem_used_mb"]) for r in rows])
+    rx = np.array([float(r["net_recv_mb"]) for r in rows])
+    tx = np.array([float(r["net_sent_mb"]) for r in rows])
+    dt = np.clip(np.diff(t), 1e-9, None)
+
+    fig, axes = plt.subplots(3, 1, figsize=(8, 8), sharex=True)
+    axes[0].plot(t_rel, cpu)
+    axes[0].set_ylabel("cpu %")
+    axes[1].plot(t_rel, mem / 1024.0)
+    axes[1].set_ylabel("mem used (GB)")
+    axes[2].plot(t_rel[1:], np.diff(rx) / dt, label="recv MB/s")
+    axes[2].plot(t_rel[1:], np.diff(tx) / dt, label="sent MB/s")
+    axes[2].set_ylabel("net rate")
+    axes[2].set_xlabel("seconds")
+    axes[2].legend()
+    fig.suptitle(Path(path).name)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out = out_dir / f"{Path(path).stem}.host.png"
+    fig.savefig(out, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return True
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("csvs", nargs="+")
@@ -213,18 +282,29 @@ def main(argv=None) -> int:
                         "(reference timeline_10/timeline_1 figures)")
     args = p.parse_args(argv)
 
-    reports = [analyze_file(Path(c)) for c in args.csvs]
+    span_csvs = [Path(c) for c in args.csvs if not is_host_csv(Path(c))]
+    host_csvs = [Path(c) for c in args.csvs if is_host_csv(Path(c))]
+    reports = [analyze_file(c) for c in span_csvs]
+    reports += [analyze_host_file(c) for c in host_csvs]
     if args.plot:
-        for c in args.csvs:
-            plot_file(Path(c), Path(args.plot))
-        plot_timeline([Path(c) for c in args.csvs],
-                      Path(args.plot) / "timeline.png",
-                      max_rows=args.timeline_rounds)
+        for c in span_csvs:
+            plot_file(c, Path(args.plot))
+        for c in host_csvs:
+            plot_host_file(c, Path(args.plot))
+        if span_csvs:
+            plot_timeline(span_csvs, Path(args.plot) / "timeline.png",
+                          max_rows=args.timeline_rounds)
     if args.json:
         print(json.dumps(reports, indent=2))
         return 0
     for rep in reports:
         print(f"\n== {rep['file']} ({rep['rows']} rows) ==")
+        if rep.get("kind") == "host_metrics":
+            print(f"  {rep['duration_s']:.0f}s sampled: "
+                  f"cpu mean {rep['cpu_mean_pct']:.1f}% max {rep['cpu_max_pct']:.1f}%, "
+                  f"mem mean {rep['mem_mean_mb']:.0f}MB max {rep['mem_max_mb']:.0f}MB, "
+                  f"net recv {rep['net_recv_mb']:.1f}MB sent {rep['net_sent_mb']:.1f}MB")
+            continue
         if "rounds_per_sec" in rep:
             print(f"  rounds/sec: {rep['rounds_per_sec']:.3f} "
                   f"({rep['rounds']} rounds in {rep['wall_s']:.1f}s)")

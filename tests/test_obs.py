@@ -141,3 +141,27 @@ def test_plot_figures_from_repo_and_reference_csvs(tmp_path):
     assert (out2 / "mdgan.2.CIFAR10.server.sizes.png").exists()
     assert (out2 / "mdgan.2.CIFAR10.worker.1.ops.png").exists()
     assert (out2 / "timeline.png").exists()
+
+
+def test_analyze_host_metrics_csv(tmp_path):
+    """analyze must recognize hostmon CSVs (gce_stats.ipynb analogue): summary
+    stats + cpu/mem/net-rate figure, alongside span CSVs untouched."""
+    import time
+
+    from mdgan_tpu.cli import analyze
+    from mdgan_tpu.obs.hostmon import HostMonitor
+
+    path = tmp_path / "host.csv"
+    mon = HostMonitor(path, period_s=0.05).start()
+    time.sleep(0.4)
+    mon.stop()
+
+    assert analyze.is_host_csv(path)
+    rep = analyze.analyze_host_file(path)
+    assert rep["kind"] == "host_metrics" and rep["rows"] >= 3
+    assert 0 <= rep["cpu_mean_pct"] <= 100 * 256  # bounded sanity
+    assert rep["mem_max_mb"] > 0
+
+    rc = analyze.main([str(path), "--plot", str(tmp_path / "plots"), "--json"])
+    assert rc == 0
+    assert (tmp_path / "plots" / "host.host.png").exists()
