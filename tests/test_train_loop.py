@@ -270,3 +270,57 @@ def test_generate_from_full_checkpoint(tmp_path, stub_inception):
                         "--checkpoint", str(tmp_path / "ckpt" / "mdgan.2.SyntheticMNIST"),
                         "--num", "4", "--nrow", "2", "--out", str(out)])
     assert rc == 0 and out.exists() and out.stat().st_size > 0
+
+
+@pytest.mark.slow
+def test_sigkill_recovery_via_cli(tmp_path):
+    """Hard-failure recovery (SURVEY §5.3): SIGKILL the training process
+    mid-run, restart with --resume, and the run completes from the last
+    checkpoint with intact outputs — no corrupted checkpoint, no crash."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               JAX_PLATFORMS="cpu")
+    argv = [sys.executable, "-m", "mdgan_tpu.cli.train",
+            "--mode", "mdgan", "--dataset", "SyntheticMNIST",
+            "--max_examples", "256", "--compute_dtype", "float32",
+            "--num_workers", "2", "--epochs", "60", "--batch_size", "4",
+            "--swap_interval", "0", "--log_interval", "0",
+            "--chunk_size", "5", "--checkpoint_interval", "10",
+            "--log_dir", str(tmp_path / "logs"),
+            "--image_dir", str(tmp_path / "imgs"),
+            "--weights_dir", str(tmp_path / "weights"),
+            "--checkpoint_dir", str(tmp_path / "ckpt")]
+
+    proc = subprocess.Popen(argv, env=env, cwd=repo,
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    ckpt_root = tmp_path / "ckpt" / "mdgan.2.SyntheticMNIST"
+    deadline = time.time() + 300
+    # wait until at least one checkpoint step exists, then pull the plug
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            raise AssertionError(
+                f"process exited early:\n{proc.stdout.read().decode()}")
+        steps = [p for p in ckpt_root.glob("[0-9]*") if p.is_dir()]
+        if steps:
+            break
+        time.sleep(0.5)
+    else:
+        raise AssertionError("no checkpoint appeared within deadline")
+    os.kill(proc.pid, signal.SIGKILL)
+    proc.wait()
+
+    out = subprocess.run(argv + ["--resume"], env=env, cwd=repo,
+                         capture_output=True, timeout=560)
+    assert out.returncode == 0, out.stdout.decode() + out.stderr.decode()
+    summary = json.loads(out.stdout.decode().strip().splitlines()[-1])
+    assert np.isfinite(summary["final_mean_d_loss"])
+    # full CSV from the resumed process covers its rounds; weights exported
+    assert (tmp_path / "weights" / "generator_final.npz").exists()
