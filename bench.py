@@ -224,12 +224,14 @@ def bench_scaling() -> list:
     that curve on one chip (REPORT.md §4 scaling shape).
     """
     out = []
-    for n_workers in (2, 4, 8, 16, 32):
-        CONFIGS["_scaling"] = ("CIFAR10", n_workers, 10, 500, 6, 50000)
-        r = bench_mdgan("_scaling")
-        r["metric"] = "mdgan_cifar10_scaling_steps_per_sec"
-        out.append(r)
-    del CONFIGS["_scaling"]
+    try:
+        for n_workers in (2, 4, 8, 16, 32):
+            CONFIGS["_scaling"] = ("CIFAR10", n_workers, 10, 500, 6, 50000)
+            r = bench_mdgan("_scaling")
+            r["metric"] = "mdgan_cifar10_scaling_steps_per_sec"
+            out.append(r)
+    finally:
+        CONFIGS.pop("_scaling", None)
     return out
 
 

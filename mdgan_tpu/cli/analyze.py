@@ -166,7 +166,7 @@ def plot_timeline(paths: List[Path], out_path: Path, max_rows: int = 10) -> bool
     lanes: List[tuple] = []  # (label, [(start, dur), ...])
     t0 = None
     for path in paths:
-        rows = spans_lib.read_spans(path)[:max_rows]
+        rows = spans_lib.read_spans(path, max_rows=max_rows)
         actor = path.stem.replace(".logs", "")
         per_op: dict = {}
         for row in rows:
@@ -282,8 +282,9 @@ def main(argv=None) -> int:
                         "(reference timeline_10/timeline_1 figures)")
     args = p.parse_args(argv)
 
-    span_csvs = [Path(c) for c in args.csvs if not is_host_csv(Path(c))]
-    host_csvs = [Path(c) for c in args.csvs if is_host_csv(Path(c))]
+    span_csvs, host_csvs = [], []
+    for c in args.csvs:  # classify each file once
+        (host_csvs if is_host_csv(Path(c)) else span_csvs).append(Path(c))
     reports = [analyze_file(c) for c in span_csvs]
     reports += [analyze_host_file(c) for c in host_csvs]
     if args.plot:

@@ -81,16 +81,12 @@ def apply_train_pair(model: nn.Module, params, stats, x_pair, rng_pair):
         lambda x, r: apply_train(model, params, stats, x, r)
     )(x_pair, rng_pair)
     if stats:
-        from mdgan_tpu.models.layers import BN_MOMENTUM
-
         # The chained formula depends on the model's BatchNorm momentum.
         # Built-ins all use layers.BN_MOMENTUM; a custom registry model with a
         # different momentum MUST declare it via a ``bn_momentum`` attribute
         # (uniform across its BN layers) or its running stats would silently
-        # be wrong here.
-        m = getattr(model, "bn_momentum", None)
-        if m is None:
-            m = BN_MOMENTUM
+        # be wrong here (verify_pair_momentum guards this at engine init).
+        m = declared_momentum(model)
         new_stats = jax.tree.map(
             lambda s0, s12: m * s12[0] + s12[1] - m * s0, stats, stats2
         )
@@ -99,8 +95,21 @@ def apply_train_pair(model: nn.Module, params, stats, x_pair, rng_pair):
     return out2, new_stats
 
 
-# model classes (keyed with their declared momentum) already verified in
-# this process — engines re-init freely without re-paying the check
+def declared_momentum(model: nn.Module) -> float:
+    """The BatchNorm momentum :func:`apply_train_pair` fuses with: the
+    model's ``bn_momentum`` declaration, else the built-ins' default.  The
+    single source of truth for both the fused update and its init-time guard
+    (:func:`verify_pair_momentum`)."""
+    from mdgan_tpu.models.layers import BN_MOMENTUM
+
+    m = getattr(model, "bn_momentum", None)
+    return BN_MOMENTUM if m is None else m
+
+
+# model INSTANCES (flax modules are frozen dataclasses; hashable unless a
+# field isn't) already verified in this process — engines re-init freely
+# without re-paying the check.  Keyed on the instance, not the class: two
+# instances of one custom class can carry different momenta.
 _PAIR_MOMENTUM_VERIFIED: set = set()
 
 
@@ -126,8 +135,11 @@ def verify_pair_momentum(model: nn.Module, params, stats, sample_input,
     """
     if not stats:
         return
-    cache_key = (type(model), getattr(model, "bn_momentum", None))
-    if cache_key in _PAIR_MOMENTUM_VERIFIED:
+    try:
+        cache_key = (type(model), declared_momentum(model), hash(model), model)
+    except TypeError:  # unhashable field somewhere: just re-verify each time
+        cache_key = None
+    if cache_key is not None and cache_key in _PAIR_MOMENTUM_VERIFIED:
         return
 
     momenta: list = []
@@ -144,11 +156,7 @@ def verify_pair_momentum(model: nn.Module, params, stats, sample_input,
             lambda p, s, xx, kk: apply_train(model, p, s, xx, kk),
             params, stats, x, key)
 
-    from mdgan_tpu.models.layers import BN_MOMENTUM
-
-    m = getattr(model, "bn_momentum", None)
-    if m is None:
-        m = BN_MOMENTUM
+    m = declared_momentum(model)
     bad = sorted({mm for mm in momenta if abs(mm - m) > 1e-6})
     if bad:
         raise ValueError(
@@ -158,7 +166,8 @@ def verify_pair_momentum(model: nn.Module, params, stats, sample_input,
             "matching the momentum used in its BatchNorm layers (see "
             "engine.state.apply_train_pair)."
         )
-    _PAIR_MOMENTUM_VERIFIED.add(cache_key)
+    if cache_key is not None:
+        _PAIR_MOMENTUM_VERIFIED.add(cache_key)
 
 
 def apply_eval(model: nn.Module, params, stats, x):

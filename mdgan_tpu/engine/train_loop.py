@@ -322,6 +322,7 @@ class MDGANTrainer:
         t0 = max(t0, getattr(self, "_prev_chunk_end", 0.0))
         self._prev_chunk_end = t1
         if server_row is not None:
+            server_row["start.epoch"] = t0
             server_row["start.calc_gradients"] = t0
             server_row["start.epoch_calculation"] = t0
             server_row["end.calc_gradients"] = t1

@@ -128,12 +128,15 @@ class SpanLogger:
         self._file.close()
 
 
-def read_spans(path: Path) -> List[Dict]:
+def read_spans(path: Path, max_rows: Optional[int] = None) -> List[Dict]:
     """Parse a span CSV back into rows with float timestamps (the analysis
-    side of the reference's ``plot_logs.ipynb`` cell 3)."""
+    side of the reference's ``plot_logs.ipynb`` cell 3).  ``max_rows`` stops
+    reading early (e.g. timeline figures use only the first few rows)."""
     out = []
     with open(path, encoding="utf-8") as f:
         for row in csv.DictReader(f):
+            if max_rows is not None and len(out) >= max_rows:
+                break
             parsed = {}
             for key, val in row.items():
                 if val in ("", "None", None):

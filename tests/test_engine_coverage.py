@@ -232,3 +232,35 @@ def test_scan_unroll_matches_unroll1():
     st, m = eng.chunk_fn(3)(st, jnp.asarray(shards),
                             jnp.asarray(sampler.next_chunk(3)))
     assert np.isfinite(np.asarray(m["mean_d_loss"])).all()
+
+
+def test_verify_pair_momentum_not_fooled_by_instance_cache():
+    """Two instances of one custom class with different (undeclared) momenta:
+    verifying the good instance must not cache away the bad one's check."""
+    import pytest
+    from flax import linen as nn
+
+    from mdgan_tpu.engine import state as state_lib
+    from mdgan_tpu.models.layers import BN_MOMENTUM
+
+    class ParamBN(nn.Module):
+        momentum: float = BN_MOMENTUM  # note: NOT named bn_momentum
+
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = nn.Dense(8)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=self.momentum)(x)
+            return x.sum(axis=-1)
+
+    key = jax.random.key(7)
+    x = jax.random.normal(key, (4, 8))
+    good = ParamBN()
+    v = good.init({"params": key}, x, train=True)
+    state_lib.verify_pair_momentum(good, v["params"], v["batch_stats"], x, key)
+
+    bad = ParamBN(momentum=0.5)
+    vb = bad.init({"params": key}, x, train=True)
+    with pytest.raises(ValueError, match="bn_momentum"):
+        state_lib.verify_pair_momentum(bad, vb["params"], vb["batch_stats"],
+                                       x, key)

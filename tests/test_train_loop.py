@@ -308,7 +308,11 @@ def test_sigkill_recovery_via_cli(tmp_path):
         if proc.poll() is not None:
             raise AssertionError(
                 f"process exited early:\n{proc.stdout.read().decode()}")
-        steps = [p for p in ckpt_root.glob("[0-9]*") if p.is_dir()]
+        # only FINALIZED orbax step dirs ('<step>'), not the async
+        # '<step>.orbax-checkpoint-tmp-<ts>' in-progress dirs — killing
+        # before finalize would silently test a from-scratch rerun
+        steps = [p for p in ckpt_root.glob("[0-9]*")
+                 if p.is_dir() and p.name.isdigit()]
         if steps:
             break
         time.sleep(0.5)
