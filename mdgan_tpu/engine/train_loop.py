@@ -127,6 +127,10 @@ class MDGANTrainer:
             self._worker_row_template = tmpl
             self._worker_logs.append(spans_lib.SpanLogger(
                 Path(tc.log_dir) / f"{name}.worker.{r + 1}.logs.csv", tmpl))
+        # fieldname -> column index, for the raw-row fast path
+        self._worker_col_index = {
+            k: i for i, k in enumerate(self._worker_row_template)}
+        self._last_d_loss: Optional[float] = None
 
         self.ckpt = ckpt_lib.CheckpointManager(Path(tc.checkpoint_dir) / name)
         self._fid_tracker = None
@@ -330,7 +334,7 @@ class MDGANTrainer:
             server_row["end.epoch"] = max(t1, server_row.get("end.epoch") or t1)
         dt = (t1 - t0) / max(n_rows, 1)
         tmpl = self._worker_row_template
-        col = {k: i for i, k in enumerate(tmpl.keys())}
+        col = self._worker_col_index
         base = list(tmpl.values())
         i_ep = col["epoch"]
         i_se, i_sc = col["start.epoch"], col["start.calc_gradients"]
@@ -359,11 +363,16 @@ class MDGANTrainer:
                 row[i_sent] = size_sent + tmpl["size.model"]
             self._worker_logs[r].write_raw_rows(rows)
 
+    @staticmethod
+    def _drain_futures(futs: List[Future]) -> None:
+        """Wait for every future; re-raise the first error; clear the list."""
+        for fut in futs:
+            fut.result()
+        futs.clear()
+
     def _drain_worker_rows(self) -> None:
         """Wait for all queued worker-row batches; re-raise any writer error."""
-        for fut in self._log_futs:
-            fut.result()
-        self._log_futs.clear()
+        self._drain_futures(self._log_futs)
 
     def _flush_rows(self, block: bool = False) -> None:
         """Write held server rows whose eval marks AND chunk-metrics fetch
@@ -476,9 +485,7 @@ class MDGANTrainer:
         self._flush_rows(block=True)
         self._eval_backlog.clear()
         self._drain_worker_rows()
-        for fut in self._ckpt_futs:
-            fut.result()
-        self._ckpt_futs.clear()
+        self._drain_futures(self._ckpt_futs)
 
         # final weights exports (reference server.py:372-375, worker.py:289-293)
         ckpt_lib.save_weights_only(Path(tc.weights_dir) / "generator_final.npz",
@@ -496,7 +503,7 @@ class MDGANTrainer:
             "rounds": rounds_done,
             "wall_time_s": wall,
             "steps_per_sec": rounds_done / wall if wall > 0 else 0.0,
-            "final_mean_d_loss": getattr(self, "_last_d_loss", None),
+            "final_mean_d_loss": self._last_d_loss,
             "evals": self._eval_history,
         }
         log.info("done: %s", summary)

@@ -117,9 +117,7 @@ def main() -> None:
     zs = [jax.random.normal(keys[i], (k * b, zd)) for i in range(8)]
     cots = [jax.random.normal(keys[i + 8], (k * b, h, w, c)) / (b * n)
             for i in range(8)]
-    xks = [z_.reshape(1, k * b, h, w, c)[0].reshape(k, b, h, w, c)
-           for z_ in [jax.random.normal(keys[i], (k * b * h * w * c,))
-                      .reshape(k * b, h, w, c) for i in range(8)]]
+    xks = [jax.random.normal(keys[i], (k, b, h, w, c)) for i in range(8)]
     idxs = [jnp.asarray(sampler.next_chunk(1)) for _ in range(8)]
     kdrops = [prng.for_step(st.key, prng.DROPOUT, jnp.int32(i))
               for i in range(8)]
