@@ -290,16 +290,21 @@ def _run_fn():
     return _RUN_CACHE["run"]
 
 
-def inception_features(images: jax.Array, batch: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+def inception_features(images: jax.Array, batch: Optional[int] = None
+                       ) -> Tuple[np.ndarray, np.ndarray]:
     """Pool features + softmax probs for images in [0, 1], any HxW, 1 or 3 ch.
 
     Handles the reference's preprocessing: grayscale channel-repeat
     (``server.py:137-138``), resize to 299, and the inception [-1, 1] scaling.
     Short batches are zero-padded to the bucket size so only a handful of
-    shapes ever compile.
+    shapes ever compile; tiny inputs (the reference's 5-sample protocol)
+    use an 8-wide bucket instead of 64 (8x less padded compute), larger
+    ones the standard 64.
     """
     run = _run_fn()
     n = images.shape[0]
+    if batch is None:
+        batch = 8 if n <= 8 else 64
     fs, ps = [], []
     for s in range(0, n, batch):
         part = images[s : s + batch]

@@ -302,7 +302,7 @@ def test_sigkill_recovery_via_cli(tmp_path):
     proc = subprocess.Popen(argv, env=env, cwd=repo,
                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
     ckpt_root = tmp_path / "ckpt" / "mdgan.2.SyntheticMNIST"
-    deadline = time.time() + 300
+    deadline = time.time() + 480
     # wait until at least one checkpoint step exists, then pull the plug
     while time.time() < deadline:
         if proc.poll() is not None:
@@ -317,7 +317,7 @@ def test_sigkill_recovery_via_cli(tmp_path):
             break
         time.sleep(0.5)
     else:
-        raise AssertionError("no checkpoint appeared within deadline")
+        raise AssertionError("no checkpoint appeared within deadline")  # noqa
     os.kill(proc.pid, signal.SIGKILL)
     proc.wait()
 
