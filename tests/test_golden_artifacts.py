@@ -169,3 +169,18 @@ def test_standalone_golden_weights_generate():
     d_params, d_stats = ckpt_lib.load_weights_only(
         GOLDEN_SA / "weights" / "netD_epoch_1999.npz")
     assert jax.tree.leaves(d_params) and jax.tree.leaves(d_stats)
+
+
+def test_golden_server_spans_non_overlapping():
+    """The committed recording must satisfy the host-pipeline span invariant:
+    consecutive server rows' epoch and calc_gradients windows do not overlap
+    (the log thread clamps each chunk's start to its predecessor's end)."""
+    rows = list(csv.DictReader(open(SERVER_CSV)))
+    for key in ("epoch", "calc_gradients"):
+        prev_end = None
+        for r in rows:
+            a, b = float(r[f"start.{key}"]), float(r[f"end.{key}"])
+            assert b > a
+            if prev_end is not None:
+                assert a >= prev_end - 1e-6, (key, a, prev_end)
+            prev_end = b
