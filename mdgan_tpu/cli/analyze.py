@@ -85,10 +85,18 @@ def plot_file(path: Path, out_dir: Path) -> None:
         fig.savefig(out_dir / f"{stem}.ops.png", dpi=120)
         plt.close(fig)
 
-    epochs = [r["epoch"] for r in rows if isinstance(r.get("epoch"), float)]
-    if "epoch" in durations and epochs:
+    # pair epoch label and duration per ROW (a row missing either field is
+    # dropped as a unit) — zipping the separately-filtered lists would silently
+    # shift the x-axis whenever one row lacks only one of the two
+    ep_dur = [
+        (r["epoch"], r["end.epoch"] - r["start.epoch"]) for r in rows
+        if isinstance(r.get("epoch"), float)
+        and isinstance(r.get("start.epoch"), float)
+        and isinstance(r.get("end.epoch"), float)
+    ]
+    if ep_dur:
         fig, ax = plt.subplots(figsize=(8, 3))
-        ax.plot(epochs[: len(durations["epoch"])], durations["epoch"])
+        ax.plot([e for e, _ in ep_dur], [d for _, d in ep_dur])
         ax.set_xlabel("round")
         ax.set_ylabel("row duration (s)")
         ax.set_title(f"{stem}: duration per logged row")

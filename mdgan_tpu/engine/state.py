@@ -106,10 +106,13 @@ def declared_momentum(model: nn.Module) -> float:
     return BN_MOMENTUM if m is None else m
 
 
-# model INSTANCES (flax modules are frozen dataclasses; hashable unless a
-# field isn't) already verified in this process — engines re-init freely
-# without re-paying the check.  Keyed on the instance, not the class: two
-# instances of one custom class can carry different momenta.
+# (model class, declared momentum, instance hash) triples already verified in
+# this process — engines re-init freely without re-paying the eval_shape
+# trace.  The hash of a flax module (a frozen dataclass) covers its field
+# values, so two instances of one class with different (even undeclared)
+# momenta key differently — WITHOUT the cache holding a strong reference that
+# would pin every verified module (and its pytree fields) for the process
+# lifetime.  Unhashable instances simply re-verify each time.
 _PAIR_MOMENTUM_VERIFIED: set = set()
 
 
@@ -136,7 +139,7 @@ def verify_pair_momentum(model: nn.Module, params, stats, sample_input,
     if not stats:
         return
     try:
-        cache_key = (type(model), declared_momentum(model), hash(model), model)
+        cache_key = (type(model), declared_momentum(model), hash(model))
     except TypeError:  # unhashable field somewhere: just re-verify each time
         cache_key = None
     if cache_key is not None and cache_key in _PAIR_MOMENTUM_VERIFIED:

@@ -41,8 +41,14 @@ def server_row_template(epoch: int, size_data_mb: float, size_feedback_mb: float
         "fid": None, "is": None,
         "size.data": size_data_mb, "size.feedback": size_feedback_mb,
         "swap": False, "size.sent": 0.0, "size.recv": 0.0,
-        # standard-protocol metrics (rebuild superset; absent in the reference)
+        # rebuild-superset columns (absent in the reference; appended after
+        # the reference schema so prefix parity holds): standard-protocol
+        # metrics, plus a real span for full-state checkpoint handoff — the
+        # reference has no checkpointing op, and reusing one of its ops
+        # (e.g. agg_gradients) would misattribute checkpoint time in any
+        # schema-parity tooling
         "fid_standard": None, "is_standard": None,
+        "start.checkpoint": None, "end.checkpoint": None,
     })
     return row
 
@@ -126,6 +132,29 @@ class SpanLogger:
 
     def close(self) -> None:
         self._file.close()
+
+
+class NullSpanLogger(SpanLogger):
+    """Interface-identical logger that writes nothing.
+
+    Used by non-primary processes in multi-host runs: every process runs the
+    same host loop (row bookkeeping included, so control flow stays lockstep)
+    but only process 0 owns the CSV files — the reference's analogue is that
+    only the server process writes ``server.logs.csv`` (``server.py:209``).
+    """
+
+    def __init__(self, template: Dict):
+        self._fieldnames = list(template.keys())
+        self.row: Optional[Dict] = None
+
+    def write_row(self, row: Dict) -> None:
+        pass
+
+    def write_raw_rows(self, rows: List[List]) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
 
 
 def read_spans(path: Path, max_rows: Optional[int] = None) -> List[Dict]:

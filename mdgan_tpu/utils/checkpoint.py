@@ -22,10 +22,16 @@ import orbax.checkpoint as ocp
 
 
 def _encode_keys(tree):
-    """Typed PRNG keys are not serializable; ship raw key data instead."""
+    """Typed PRNG keys are not serializable; ship raw key data instead.
+
+    The key data is materialized as NUMPY: ``jax.device_get`` leaves typed
+    keys as host-local single-device jax Arrays (numpy has no prng dtype),
+    which multi-host orbax refuses to serialize — a host numpy array is
+    treated as replicated and written by the primary process."""
     def enc(x):
         if isinstance(x, jax.Array) and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
-            return {"__prng_key_data__": jax.random.key_data(x)}
+            return {"__prng_key_data__": np.asarray(
+                jax.device_get(jax.random.key_data(x)))}
         return x
 
     return jax.tree.map(enc, tree, is_leaf=lambda x: isinstance(x, jax.Array))
@@ -98,6 +104,10 @@ class CheckpointManager:
             rng_file = self.directory / str(step) / "host_rng.json"
         host_rng = json.loads(rng_file.read_text()) if rng_file.exists() else None
         return state, sampler, host_rng, step
+
+    def wait_until_finished(self) -> None:
+        """Block until every scheduled (async) save is finalized on disk."""
+        self._mgr.wait_until_finished()
 
     def close(self):
         self._mgr.wait_until_finished()

@@ -42,6 +42,33 @@ def test_server_schema_matches_reference_columns():
         assert col in tmpl, col
 
 
+def test_server_superset_columns_roundtrip(tmp_path):
+    """Rebuild-superset columns (fid_standard/is_standard + the checkpoint
+    span) sit AFTER the reference schema and must round-trip through the
+    logger/parser like any reference op."""
+    tmpl = spans_lib.server_row_template(0, 1.0, 1.0)
+    keys = list(tmpl)
+    for col in ("fid_standard", "is_standard", "start.checkpoint",
+                "end.checkpoint"):
+        assert col in tmpl, col
+        # superset columns come after every reference column
+        assert keys.index(col) > keys.index("size.recv")
+
+    path = tmp_path / "server.logs.csv"
+    logger = spans_lib.SpanLogger(path, tmpl)
+    logger.begin_row(spans_lib.server_row_template(0, 1.0, 1.0))
+    with logger.span("checkpoint"):
+        pass
+    logger.mark(fid_standard=42.5, is_standard=3.25)
+    logger.end_row()
+    logger.close()
+    rows = spans_lib.read_spans(path)
+    assert rows[0]["fid_standard"] == 42.5
+    assert rows[0]["is_standard"] == 3.25
+    durs = spans_lib.span_durations(rows)
+    assert len(durs["checkpoint"]) == 1 and durs["checkpoint"][0] >= 0
+
+
 def test_worker_schema_matches_reference_columns():
     """Reference worker CSV columns (``worker.py:129-152``)."""
     tmpl = spans_lib.worker_row_template(0, 2.53)
