@@ -426,7 +426,10 @@ class MDGANEngine:
             "g_feedback_loss": g_losses,              # (N,) BCE(D_n(X_g),1)
             "feedback_norm": jnp.sqrt(fb_sq),
         }
-        return new_state, metrics
+        # x_all: the k*b images generated DURING this round (pre-update
+        # generator) — the exact tensor the reference scores at eval rounds
+        # (``server.py:337`` reuses ``X.detach()``, not a regeneration).
+        return new_state, metrics, x_all
 
     @staticmethod
     def _zero_like_stats(stats):
@@ -444,14 +447,26 @@ class MDGANEngine:
                 steps = st.step + jnp.arange(num_steps, dtype=jnp.int32)
 
                 def body(carry, xs):
+                    st_c, _ = carry
                     idx, s = xs
-                    return self._step(carry, data, idx, s)
+                    new_st, metrics, x_all = self._step(st_c, data, idx, s)
+                    # carry (not stack) the round's images: O(1) memory, and
+                    # the chunk's LAST round is always the eval round (the
+                    # host loop clips chunks at eval boundaries)
+                    return (new_st, x_all.astype(jnp.float32)), metrics
 
+                h, w, c = self.spec.shape
+                x0 = jnp.zeros((self.k * self.cfg.batch_size, h, w, c),
+                               jnp.float32)
                 unroll = self.cfg.scan_unroll
                 if num_steps % max(unroll, 1) != 0:
                     unroll = 1
-                return jax.lax.scan(body, st, (idx_chunk, steps),
-                                    unroll=max(unroll, 1))
+                (st_out, x_last), metrics = jax.lax.scan(
+                    body, (st, x0), (idx_chunk, steps), unroll=max(unroll, 1))
+                # reference-exact eval payload (server.py:337): the final
+                # round's generated batch, pre-update by construction
+                metrics["x_eval"] = x_last
+                return st_out, metrics
 
             self._chunk_fns[num_steps] = jax.jit(
                 run_chunk, donate_argnums=(0,) if self.cfg.donate else ()

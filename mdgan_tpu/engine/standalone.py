@@ -119,7 +119,9 @@ class StandaloneEngine:
             "mean_d_loss": dl_sum / cfg.local_epochs,
             "mean_g_loss": gl_sum / cfg.local_epochs,
         }
-        return new_state, metrics
+        # the round's fake batch (pre-G-update) — the tensor the reference
+        # scores at eval rounds (``standalone_gan.py:190-191`` reused at 233+)
+        return new_state, metrics, fake0
 
     def chunk_fn(self, num_steps: int) -> Callable:
         if num_steps not in self._chunk_fns:
@@ -128,14 +130,21 @@ class StandaloneEngine:
                 steps = st.step + jnp.arange(num_steps, dtype=jnp.int32)
 
                 def body(carry, xs):
+                    st_c, _ = carry
                     idx, s = xs
-                    return self._step(carry, data, idx, s)
+                    new_st, metrics, fake0 = self._step(st_c, data, idx, s)
+                    return (new_st, fake0.astype(jnp.float32)), metrics
 
+                h, w, c = self.spec.shape
+                x0 = jnp.zeros((self.cfg.batch_size, h, w, c), jnp.float32)
                 unroll = self.cfg.scan_unroll
                 if num_steps % max(unroll, 1) != 0:
                     unroll = 1
-                return jax.lax.scan(body, st, (idx_chunk, steps),
-                                    unroll=max(unroll, 1))
+                (st_out, x_last), metrics = jax.lax.scan(
+                    body, (st, x0), (idx_chunk, steps), unroll=max(unroll, 1))
+                # reference-exact eval payload: the final round's fake batch
+                metrics["x_eval"] = x_last
+                return st_out, metrics
 
             self._chunk_fns[num_steps] = jax.jit(
                 run_chunk, donate_argnums=(0,) if self.cfg.donate else ()

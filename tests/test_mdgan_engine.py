@@ -59,6 +59,55 @@ def test_chunk_runs_and_losses_finite():
     assert delta > 0
 
 
+def test_chunk_x_eval_is_pre_update_round_output():
+    """The chunk's ``x_eval`` must be the images generated DURING its final
+    round by the PRE-update generator — reference eval semantics
+    (``server.py:337`` scores ``X.detach()``, not a regeneration).  Pinned by
+    replaying: state after L-1 rounds + one train-mode forward at round L-1's
+    latents must reproduce ``x_eval`` of the L-round chunk exactly."""
+    eng, shards, cfg = make_engine(n=4)
+    sampler = ShardSampler(4, shards.shape[1], cfg.batch_size, seed=0)
+    idx = jnp.asarray(sampler.next_chunk(3))
+
+    st3, m3 = eng.chunk_fn(3)(eng.init_state(seed=0), shards, idx)
+    assert m3["x_eval"].shape == (eng.k * cfg.batch_size, 28, 28, 1)
+
+    # replay: the generator as it stood ENTERING round 2 (chunking invariance
+    # holds, tested separately), then its round-2 forward
+    st2, _ = eng.chunk_fn(2)(eng.init_state(seed=0), shards, idx[:2])
+    kz = prng.for_step(st2.key, prng.LATENT, jnp.int32(2))
+    z = jax.random.normal(kz, (eng.k * cfg.batch_size, eng.spec.z_dim),
+                          jnp.float32)
+    want, _ = state_lib.apply_train(eng.g_model, st2.g.params, st2.g.stats, z)
+    np.testing.assert_allclose(np.asarray(m3["x_eval"]), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    # and it is NOT the post-round generator's output (one Adam step apart)
+    redo, _ = state_lib.apply_train(eng.g_model, st3.g.params, st3.g.stats, z)
+    assert float(jnp.abs(redo - m3["x_eval"]).max()) > 1e-6
+
+
+def test_standalone_chunk_x_eval_is_pre_update_round_output():
+    """Standalone twin of the x_eval pin (``standalone_gan.py:190-191``: the
+    round's fake batch is generated once, pre-G-update, and reused at eval)."""
+    from mdgan_tpu.engine.standalone import StandaloneEngine
+
+    spec = get_spec("SyntheticMNIST")
+    cfg = small_cfg()
+    eng = StandaloneEngine(spec, cfg)
+    data, _ = spec.load("data", max_examples=64)
+    arr = jnp.asarray(data)
+    sampler = ShardSampler(1, len(data), cfg.batch_size, seed=0)
+    idx = jnp.asarray(sampler.next_chunk(3)[:, 0, :])
+
+    _, m3 = eng.chunk_fn(3)(eng.init_state(seed=0), arr, idx)
+    st2, _ = eng.chunk_fn(2)(eng.init_state(seed=0), arr, idx[:2])
+    kz = prng.for_step(st2.key, prng.LATENT, jnp.int32(2))
+    z = jax.random.normal(kz, (cfg.batch_size, spec.z_dim), jnp.float32)
+    want, _ = state_lib.apply_train(eng.g_model, st2.g.params, st2.g.stats, z)
+    np.testing.assert_allclose(np.asarray(m3["x_eval"]), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_determinism_and_chunking_invariance():
     """Same seed => identical run; 4 steps as 1 chunk == 4 steps as 2+2.
