@@ -52,9 +52,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_n_samples", type=int, default=0,
                    help="standard-protocol FID/IS sample count (0 = off)")
     p.add_argument("--data_dir", type=str, default="data")
+    p.add_argument("--download", action="store_true",
+                   help="fetch the dataset's raw files (checksum-verified) "
+                        "into --data_dir if absent — the reference loaders' "
+                        "download=True (CIFAR10.py:37, MNIST.py:42), opt-in")
     p.add_argument("--max_examples", type=int, default=None)
     # TPU-native knobs
     p.add_argument("--chunk_size", type=int, default=100)
+    p.add_argument("--metrics_flush", type=int, default=8,
+                   help="chunks per batched metrics device->host fetch "
+                        "(1 = fetch every chunk)")
     p.add_argument("--scan_unroll", type=int, default=1,
                    help="lax.scan unroll factor for the fused chunk")
     p.add_argument("--compute_dtype", choices=["bfloat16", "float32"],
@@ -65,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Pallas fused-Adam kernel (see core/config.py notes)")
     p.add_argument("--pallas_sampling", action="store_true",
                    help="Pallas DMA gather+normalize sampling (pre-tiled shards)")
+    p.add_argument("--swap_impl", choices=["auto", "gather", "ppermute"],
+                   default="auto",
+                   help="discriminator-swap implementation: explicit "
+                        "collective permute needs one worker per device on "
+                        "the mesh; gather works at any ratio; auto picks "
+                        "ppermute when eligible")
     p.add_argument("--sync_eval", action="store_true",
                    help="run FID/IS eval inline on the round loop (the "
                         "reference's behaviour) instead of on a background "
@@ -95,11 +108,13 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         discriminator_opt=OptimizerConfig(lr=args.discriminator_lr,
                                           beta_1=args.beta_1, beta_2=args.beta_2),
         chunk_size=args.chunk_size,
+        metrics_flush=args.metrics_flush,
         scan_unroll=args.scan_unroll,
         compute_dtype=args.compute_dtype,
         use_pallas=not args.no_pallas,
         fused_adam=args.fused_adam,
         pallas_sampling=args.pallas_sampling,
+        swap_impl=args.swap_impl,
         n_samples=args.n_samples,
         eval_n_samples=args.eval_n_samples,
         async_eval=not args.sync_eval,
@@ -126,6 +141,10 @@ def main(argv=None) -> int:
     maybe_initialize()  # no-op on single host
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+    if args.download:
+        from mdgan_tpu.data.download import ensure_dataset
+
+        ensure_dataset(args.dataset, args.data_dir)
     from mdgan_tpu.engine.train_loop import MDGANTrainer, StandaloneTrainer
 
     monitor = None

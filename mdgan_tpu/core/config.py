@@ -120,6 +120,15 @@ class TrainConfig:
     # CIFAR-shape rows. Default off for layout simplicity; rows must be
     # 128-byte aligned (MNIST's 784 falls back automatically).
     pallas_sampling: bool = False
+    # Number of dispatched chunks whose metrics are fetched in ONE batched
+    # device->host transfer by the background log thread.  On remote/tunneled
+    # runtimes each device_get costs a full round trip (~1.5 s measured), so
+    # per-chunk fetches cap the sustained rate at 1/latency per chunk;
+    # batching M chunks divides that cost by M.  Loss values in the CSVs are
+    # bit-identical for any value; only the synthesized per-chunk span
+    # timestamps coarsen (M chunks share one measured completion time).
+    # 1 = fetch per chunk (the pre-round-3 behaviour).
+    metrics_flush: int = 8
     # Swap implementation: "gather" (take(perm) on the stacked axis; any
     # worker/device ratio), "ppermute" (point-to-point collective permute;
     # needs one worker per device), or "auto" (ppermute when eligible).

@@ -14,12 +14,15 @@ Data placement note for multi-host: build each host's worker shards with
 each host only materializes its local slice; the stacked-array engine is
 agnostic to how the arrays were assembled.
 
-Scope note: multi-host runs drive ``MDGANEngine`` directly (the working
-2-process pattern is ``tests/multihost_driver.py``).  The convenience
-``MDGANTrainer`` host loop is single-controller — it fetches worker-sharded
-metrics and dispatches eval programs from background threads, both of which
-assume all devices are addressable — and refuses to start under
-``jax.process_count() > 1``.
+The FULL ``MDGANTrainer`` host loop (span/worker CSVs, FID/IS eval, image
+grids, checkpoints) runs multi-host: every process executes the same
+deterministic loop and dispatches every jitted global computation in
+lockstep; chunk metrics are all-gathered to a replicated layout so process 0
+can fetch them; host IO happens on process 0 only; checkpoints are saved by
+all processes through orbax's own multi-host coordination.  Proven
+equivalent to a single-process run in ``tests/test_multihost.py`` (bare
+engine: ``tests/multihost_driver.py``; full trainer:
+``tests/multihost_trainer_driver.py``).
 """
 
 from __future__ import annotations

@@ -180,6 +180,49 @@ def test_standard_protocol_in_trainer(tmp_path, stub_inception):
     assert len(vals) == 3
 
 
+def test_batched_metrics_spans_non_overlapping(tmp_path, stub_inception):
+    """Under the batched metrics fetch (metrics_flush > 1) the synthesized
+    per-chunk windows must stay strictly ordered: consecutive server rows'
+    epoch spans non-overlapping, every swap/checkpoint child span inside its
+    parent window (the invariant the golden recordings pin)."""
+    import csv
+
+    argv = ["--mode", "mdgan", "--num_workers", "2", "--epochs", "40",
+            "--batch_size", "2", "--chunk_size", "3", "--swap_interval", "10",
+            "--log_interval", "0", "--checkpoint_interval", "15",
+            "--metrics_flush", "4"]
+    tr = MDGANTrainer(_cfg(tmp_path, argv))
+    summary = tr.train()
+    tr.close()
+    assert summary["rounds"] == 40
+    rows = list(csv.DictReader(
+        open(tmp_path / "logs" / "mdgan.2.SyntheticMNIST.server.logs.csv")))
+    prev_end = None
+    for r in rows:
+        a, b = float(r["start.epoch"]), float(r["end.epoch"])
+        assert b >= a
+        if prev_end is not None:
+            assert a >= prev_end - 1e-9, (r["epoch"], a, prev_end)
+        prev_end = b
+        for child in ("swap", "checkpoint"):
+            s, e = r.get(f"start.{child}"), r.get(f"end.{child}")
+            if s and e:
+                assert a - 1e-9 <= float(s) <= float(e) <= b + 1e-9, (
+                    child, r["epoch"], a, s, e, b)
+    # losses identical to an unbatched (per-chunk fetch) run
+    argv1 = [x if x != "4" else "1" for x in argv]
+    tr1 = MDGANTrainer(_cfg(tmp_path / "m1", argv1))
+    summary1 = tr1.train()
+    tr1.close()
+    assert summary1["final_mean_d_loss"] == summary["final_mean_d_loss"]
+    for w in (1, 2):
+        a = [r["mean_d_loss"] for r in csv.DictReader(open(
+            tmp_path / "logs" / f"mdgan.2.SyntheticMNIST.worker.{w}.logs.csv"))]
+        b = [r["mean_d_loss"] for r in csv.DictReader(open(
+            tmp_path / "m1" / "logs" / f"mdgan.2.SyntheticMNIST.worker.{w}.logs.csv"))]
+        assert a == b  # bit-identical CSV loss columns for any metrics_flush
+
+
 def test_chunk_schedule_randomized_invariants():
     """Property test over the host chunk scheduler: replaying _next_event's
     clipping must cover every round exactly once and place every swap, eval,
@@ -284,8 +327,11 @@ def test_sigkill_recovery_via_cli(tmp_path):
     import time
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # PYTHONPATH is the repo ONLY — an inherited path carrying a TPU-plugin
+    # sitecustomize (e.g. /root/.axon_site) would override JAX_PLATFORMS=cpu
+    # and route this subprocess's device ops to real hardware
     env = dict(os.environ,
-               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+               PYTHONPATH=repo,
                XLA_FLAGS="--xla_force_host_platform_device_count=1",
                JAX_PLATFORMS="cpu")
     argv = [sys.executable, "-m", "mdgan_tpu.cli.train",
