@@ -1,0 +1,170 @@
+"""One-process recorder for every committed TPU artifact (round-3 set).
+
+Runs ALL device work in a single long-lived process (rapid client churn
+wedges the tunneled TPU runtime — see .claude/skills/verify/SKILL.md):
+
+  1. golden MD-GAN re-record  (2000 rounds, 8 workers, seed 42) with
+     reference-exact eval images, --host_metrics, and the 10k-sample
+     standard-protocol FID/IS alongside the 5-sample logging
+  2. golden standalone re-record (2000 rounds, seed 42)
+  3. headline full-scale run (30000 rounds, 101 evals, 8 workers, seed 42)
+  4. bench: kernel headline, sustained trainer rate, worker-count scaling
+     (JSON lines -> artifacts/bench/)
+
+Usage:
+  PYTHONPATH=/root/.axon_site:/root/repo python scripts/record_artifacts.py \
+      [--steps golden,standalone,headline,bench] [--repo /root/repo]
+
+Weights pruning (per-eval generator exports) is done afterwards by
+``--prune`` (kept separate so a crashed run leaves everything inspectable).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+
+def _fresh(d: Path) -> str:
+    if d.exists():
+        shutil.rmtree(d)
+    d.mkdir(parents=True)
+    return str(d)
+
+
+def run_train(argv, summary_path: Path):
+    """Invoke the training CLI in-process, capture its summary JSON line."""
+    import io
+    from contextlib import redirect_stdout
+
+    from mdgan_tpu.cli import train as train_cli
+
+    print(f"== train {' '.join(argv)}", flush=True)
+    t0 = time.time()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = train_cli.main(argv)
+    assert rc == 0
+    summary = buf.getvalue().strip().splitlines()[-1]
+    json.loads(summary)  # must be the summary JSON line
+    summary_path.write_text(summary)
+    print(f"== done in {time.time() - t0:.1f}s: {summary[:300]}", flush=True)
+
+
+def record_golden_mdgan(root: Path) -> None:
+    out = root / "artifacts" / "golden" / "cifar10_w8_r2000"
+    logs, imgs, weights = _fresh(out / "logs"), _fresh(out / "images"), _fresh(out / "weights")
+    run_train([
+        "--mode", "mdgan", "--dataset", "CIFAR10", "--num_workers", "8",
+        "--epochs", "2000", "--batch_size", "10", "--swap_interval", "500",
+        "--log_interval", "300", "--seed", "42",
+        "--eval_n_samples", "10000",
+        "--host_metrics", str(out / "logs" / "host.csv"),
+        "--log_dir", logs, "--image_dir", imgs, "--weights_dir", weights,
+        "--checkpoint_dir", "/tmp/golden_ckpt_r3",
+    ], out / "summary.json")
+
+
+def record_golden_standalone(root: Path) -> None:
+    out = root / "artifacts" / "golden" / "cifar10_standalone_r2000"
+    logs, imgs, weights = _fresh(out / "logs"), _fresh(out / "images"), _fresh(out / "weights")
+    run_train([
+        "--mode", "standalone", "--dataset", "CIFAR10",
+        "--epochs", "2000", "--batch_size", "10",
+        "--log_interval", "300", "--seed", "42",
+        "--log_dir", logs, "--image_dir", imgs, "--weights_dir", weights,
+        "--checkpoint_dir", "/tmp/golden_sa_ckpt_r3",
+    ], out / "summary.json")
+
+
+def record_headline(root: Path) -> None:
+    out = root / "artifacts" / "headline" / "cifar10_w8_r30000"
+    logs, imgs, weights = _fresh(out / "logs"), _fresh(out / "images"), _fresh(out / "weights")
+    run_train([
+        "--mode", "mdgan", "--dataset", "CIFAR10", "--num_workers", "8",
+        "--epochs", "30000", "--batch_size", "10", "--swap_interval", "5000",
+        "--log_interval", "300", "--seed", "42",
+        "--log_dir", logs, "--image_dir", imgs, "--weights_dir", weights,
+        "--checkpoint_dir", "/tmp/headline_ckpt_r3",
+    ], out / "summary.json")
+
+
+def record_bench(root: Path) -> None:
+    import io
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, str(root))
+    import bench
+
+    out = root / "artifacts" / "bench"
+    out.mkdir(parents=True, exist_ok=True)
+
+    def capture(argv, dest):
+        buf = io.StringIO()
+        old = sys.argv
+        sys.argv = ["bench.py"] + argv
+        try:
+            with redirect_stdout(buf):
+                bench.main()
+        finally:
+            sys.argv = old
+        (out / dest).write_text(buf.getvalue())
+        print(f"== bench {argv} ->\n{buf.getvalue()}", flush=True)
+
+    capture(["--config", "headline"], "BENCH_headline_r03.json")
+    capture(["--config", "sustained"], "BENCH_sustained_r03.json")
+    capture(["--config", "scaling"], "BENCH_scaling_r03.json")
+
+
+def prune_weights(root: Path) -> None:
+    """Drop per-eval generator exports except the best-FID snapshot + final
+    (the 2k-golden convention from round 2)."""
+    import csv
+
+    for run in ("golden/cifar10_w8_r2000", "headline/cifar10_w8_r30000"):
+        out = root / "artifacts" / run
+        csvs = list((out / "logs").glob("mdgan.*.server.logs.csv"))
+        if not csvs:
+            continue
+        rows = list(csv.DictReader(open(csvs[0])))
+        fids = [(float(r["fid"]), int(float(r["epoch"])))
+                for r in rows if r.get("fid")]
+        keep = {min(fids)[1]} if fids else set()
+        for p in sorted((out / "weights").glob("generator_*.npz")):
+            stem = p.stem.replace("generator_", "")
+            if stem != "final" and (not stem.isdigit() or int(stem) not in keep):
+                p.unlink()
+        print(f"pruned {run}: kept best-FID {sorted(keep)} + final", flush=True)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--repo", default="/root/repo")
+    p.add_argument("--steps", default="golden,standalone,headline,bench")
+    p.add_argument("--prune", action="store_true",
+                   help="only prune per-eval weight exports, no training")
+    args = p.parse_args()
+    root = Path(args.repo)
+    if args.prune:
+        prune_weights(root)
+        return
+    steps = args.steps.split(",")
+    from mdgan_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    if "golden" in steps:
+        record_golden_mdgan(root)
+    if "standalone" in steps:
+        record_golden_standalone(root)
+    if "headline" in steps:
+        record_headline(root)
+    if "bench" in steps:
+        record_bench(root)
+
+
+if __name__ == "__main__":
+    main()
