@@ -674,7 +674,13 @@ class MDGANTrainer:
 
 
 class StandaloneTrainer:
-    """Single-device baseline run (the ``run-standalone.sh`` path)."""
+    """Single-device baseline run (the ``run-standalone.sh`` path).
+
+    The loop stays synchronous, matching the reference's standalone exactly
+    (``standalone_gan.py:180-273``); unlike the reference's save-only exports
+    it supports full checkpoint/resume (the same §5.3/5.4 superset the MD-GAN
+    trainer has): orbax state + sampler cursor at ``checkpoint_interval``,
+    bit-identical continuation."""
 
     def __init__(self, run_cfg: RunConfig):
         self.cfg = run_cfg
@@ -689,6 +695,13 @@ class StandaloneTrainer:
         self.sampler = ShardSampler(1, len(data), tc.batch_size, seed=0)
         self.state = self.engine.init_state(tc.seed)
         name = f"{run_cfg.data.dataset}.standalone"
+        self.ckpt = ckpt_lib.CheckpointManager(Path(tc.checkpoint_dir) / name)
+        if tc.resume and self.ckpt.latest_step() is not None:
+            state, sampler_state, _, step = self.ckpt.restore(self.state)
+            self.state = state
+            if sampler_state is not None:
+                self.sampler.load_state_dict(sampler_state)
+            log.info("standalone: resumed from checkpoint at step %d", step)
         self.logger = spans_lib.SpanLogger(
             Path(tc.log_dir) / f"{name}.logs.csv",
             spans_lib.server_row_template(0, 0.0, 0.0))
@@ -702,7 +715,8 @@ class StandaloneTrainer:
         metrics = None
         t_start = time.time()
         while cur < tc.epochs:
-            event_end = _next_event(cur, tc.epochs, 0, tc.log_interval, 1)
+            event_end = _next_event(cur, tc.epochs, 0, tc.log_interval, 1,
+                                    tc.checkpoint_interval)
             clen = min(tc.chunk_size, event_end - cur + 1, tc.epochs - cur)
             idx = jnp.asarray(self.sampler.next_chunk(clen)[:, 0, :])
             self.logger.begin_row(spans_lib.server_row_template(cur, 0.0, 0.0))
@@ -736,8 +750,13 @@ class StandaloneTrainer:
                     is_mean, _ = fid_lib.inception_score(fakes01, splits=1)
                 self.logger.mark(fid=fid, **{"is": is_mean})
                 self._eval_history.append({"epoch": e, "fid": fid, "is": is_mean})
+            if (tc.checkpoint_interval > 0 and e > 0
+                    and e % tc.checkpoint_interval == 0) or e == tc.epochs - 1:
+                with self.logger.span("checkpoint"):
+                    self.ckpt.save(e, self.state, self.sampler.state_dict())
             self.logger.end_row()
 
+        self.ckpt.wait_until_finished()
         ckpt_lib.save_weights_only(
             Path(tc.weights_dir) / f"netG_epoch_{tc.epochs - 1}.npz",
             self.state.g.params, self.state.g.stats)
@@ -756,3 +775,4 @@ class StandaloneTrainer:
 
     def close(self):
         self.logger.close()
+        self.ckpt.close()

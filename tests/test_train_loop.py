@@ -124,6 +124,37 @@ def test_mdgan_trainer_resume(tmp_path, stub_inception):
 
 
 @pytest.mark.slow
+def test_standalone_resume_bit_identical(tmp_path, stub_inception):
+    """StandaloneTrainer checkpoint/resume (the §5.3/5.4 superset, now on the
+    standalone path too): a run killed at its round-19 checkpoint and resumed
+    to 30 rounds must reproduce the uninterrupted 30-round run bit-for-bit."""
+    import jax
+
+    def argv(n_epochs):
+        return ["--mode", "standalone", "--epochs", str(n_epochs),
+                "--batch_size", "4", "--log_interval", "0",
+                "--chunk_size", "5", "--checkpoint_interval", "10"]
+
+    full = StandaloneTrainer(_cfg(tmp_path / "full", argv(30)))
+    full.train()
+    full_params = jax.device_get(full.state.g.params)
+    full.close()
+
+    part = StandaloneTrainer(_cfg(tmp_path / "part", argv(20)))
+    part.train()
+    part.close()
+    resumed = StandaloneTrainer(_cfg(tmp_path / "part", argv(30) + ["--resume"]))
+    # final ckpt of the 20-round run holds the post-round-19 state (step 20)
+    assert int(resumed.state.step) == 20
+    resumed.train()
+    resumed_params = jax.device_get(resumed.state.g.params)
+    resumed.close()
+
+    for la, lb in zip(jax.tree.leaves(full_params), jax.tree.leaves(resumed_params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+@pytest.mark.slow
 def test_standalone_trainer(tmp_path, stub_inception):
     cfg = _cfg(tmp_path, [
         "--mode", "standalone", "--epochs", "20", "--batch_size", "8",
