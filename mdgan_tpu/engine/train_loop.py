@@ -291,7 +291,7 @@ class MDGANTrainer:
             images_lib.save_image_grid(real01, Path(tc.image_dir) / "real_images.png")
             self._fid_tracker = fid_lib.FIDTracker(real01)
         marks["start.is"] = time.time()
-        is_mean, _ = fid_lib.inception_score(fakes01[:n_eval], splits=1)
+        is_mean, _ = self._fid_tracker.inception_score(fakes01[:n_eval], splits=1)
         marks["end.is"] = time.time()
         marks["start.fid"] = time.time()
         fid = self._fid_tracker.score(fakes01[:n_eval])
@@ -336,7 +336,7 @@ class MDGANTrainer:
             fakes.append(np.asarray(losses.denormalize_to_unit(out)))
         fakes01 = np.concatenate(fakes)
         fid_std = self._fid_std_tracker.score(fakes01)
-        is_std, is_std_dev = fid_lib.inception_score(fakes01, splits=10)
+        is_std, is_std_dev = self._fid_std_tracker.inception_score(fakes01, splits=10)
         log.info("standard eval @ %d (n=%d): fid=%.2f is=%.3f±%.3f",
                  epoch, n, fid_std, is_std, is_std_dev)
         return {"fid_standard": fid_std, "is_standard": is_std,
@@ -745,9 +745,10 @@ class StandaloneTrainer:
                 images_lib.save_image_grid(
                     fakes01, Path(tc.image_dir) / f"fake_samples_{e}.png")
                 with self.logger.span("fid"):
-                    fid = fid_lib.FIDTracker(real01).score(fakes01)
+                    tracker = fid_lib.FIDTracker(real01)
+                    fid = tracker.score(fakes01)
                 with self.logger.span("is"):
-                    is_mean, _ = fid_lib.inception_score(fakes01, splits=1)
+                    is_mean, _ = tracker.inception_score(fakes01, splits=1)
                 self.logger.mark(fid=fid, **{"is": is_mean})
                 self._eval_history.append({"epoch": e, "fid": fid, "is": is_mean})
             if (tc.checkpoint_interval > 0 and e > 0

@@ -87,20 +87,15 @@ def frechet_from_features(f1: np.ndarray, f2: np.ndarray) -> float:
 
 def fid_score(real_images: np.ndarray, fake_images: np.ndarray) -> float:
     """FID between two image sets in [0, 1], NHWC (1 or 3 channels)."""
-    from mdgan_tpu.metrics.inception import calibrate
+    from mdgan_tpu.metrics.inception import calibrated_variables
 
-    calibrate(real_images)
-    rf, _ = inception_features(real_images)
-    ff, _ = inception_features(fake_images)
+    variables = calibrated_variables(real_images)
+    rf, _ = inception_features(real_images, variables=variables)
+    ff, _ = inception_features(fake_images, variables=variables)
     return frechet_from_features(rf, ff)
 
 
-def inception_score(fake_images: np.ndarray, splits: int = 1) -> Tuple[float, float]:
-    """IS = exp(E_x KL(p(y|x) || p(y))). Returns (mean, std) over splits.
-
-    The reference uses splits=1 (``server.py:41``), so std is 0 there.
-    """
-    _, probs = inception_features(fake_images)
+def _is_from_probs(probs: np.ndarray, splits: int) -> Tuple[float, float]:
     n = probs.shape[0]
     scores = []
     for i in range(splits):
@@ -113,18 +108,43 @@ def inception_score(fake_images: np.ndarray, splits: int = 1) -> Tuple[float, fl
     return float(np.mean(scores)), float(np.std(scores))
 
 
+def inception_score(fake_images: np.ndarray, splits: int = 1,
+                    variables: dict | None = None) -> Tuple[float, float]:
+    """IS = exp(E_x KL(p(y|x) || p(y))). Returns (mean, std) over splits.
+
+    The reference uses splits=1 (``server.py:41``), so std is 0 there.
+    ``variables`` selects the inception weight set (a tracker's calibrated
+    variables keep IS consistent with that tracker's FID features).
+    """
+    _, probs = inception_features(fake_images, variables=variables)
+    return _is_from_probs(probs, splits)
+
+
 class FIDTracker:
     """Precomputes real statistics once (the reference keeps one fixed real
-    batch for all evals — ``server.py:128-140``) and scores fakes against it."""
+    batch for all evals — ``server.py:128-140``) and scores fakes against it.
+
+    Each tracker carries its OWN inception variables, BN-calibrated on its
+    real images (``inception.calibrated_variables`` — a no-op for pretrained
+    weights).  That makes every score a pure function of (real set, fake set):
+    nothing depends on which tracker a process happened to build first, so
+    seeded runs produce identical FID/IS columns across recordings."""
 
     def __init__(self, real_images: np.ndarray):
-        from mdgan_tpu.metrics.inception import calibrate
+        from mdgan_tpu.metrics.inception import calibrated_variables
 
-        # calibrates the random-init fallback's BN stats on the real images
-        # (no-op with pretrained weights) — see inception.calibrate
-        calibrate(real_images)
-        self.real_feats, _ = inception_features(real_images)
+        self.variables = calibrated_variables(real_images)
+        self.real_feats, _ = inception_features(real_images,
+                                                variables=self.variables)
 
     def score(self, fake_images: np.ndarray) -> float:
-        ff, _ = inception_features(fake_images)
+        ff, _ = inception_features(fake_images, variables=self.variables)
         return frechet_from_features(self.real_feats, ff)
+
+    def inception_score(self, fake_images: np.ndarray, splits: int = 1
+                        ) -> Tuple[float, float]:
+        """IS under this tracker's calibrated features (same weight set as
+        :meth:`score`, so a run's FID and IS columns share one feature
+        space)."""
+        _, probs = inception_features(fake_images, variables=self.variables)
+        return _is_from_probs(probs, splits)

@@ -235,27 +235,57 @@ def get_inception(weights_path: Optional[str] = None):
             source = "pretrained"
             break
     _CACHED = (model, variables, source)
-    _RUN_CACHE.clear()  # drop any jitted extractor closed over old weights
+    _RUN_CACHE.clear()  # drop any jitted extractor closed over an old model
+    _CALIB_CACHE.clear()  # calibrations derive from the old base weights
     return model, variables, source
 
 
-def calibrate(images01: np.ndarray) -> str:
-    """Calibrate the random-init fallback's BatchNorm statistics.
+# Calibration uses at most this many images (taken in canonical order from
+# the front of the set): enough for stable per-layer batch statistics while
+# bounding memory (a train-mode pass materializes the full 299x299 batch) and
+# keeping the calibration INDEPENDENT of the caller's sample count.
+_CALIBRATION_CAP = 64
+
+# content-hash -> calibrated variables; bounded, see _calibration_key
+_CALIB_CACHE: dict = {}
+
+
+def _calibration_key(x: np.ndarray) -> str:
+    import hashlib
+
+    h = hashlib.sha1(x.tobytes())
+    h.update(repr((x.shape, str(x.dtype))).encode())
+    return h.hexdigest()
+
+
+def calibrated_variables(images01) -> dict:
+    """Variables with BatchNorm statistics calibrated on ``images01``.
 
     A freshly-initialized InceptionV3 in frozen-BN mode has mean-0/var-1
     running stats everywhere, so deep activations collapse and FID over its
     features degenerates toward 0.  One train-mode pass with momentum-0 BN
-    writes each layer's *actual* batch statistics (over a representative image
-    set) into the frozen stats, making the random-feature FID discriminative.
-    No-op for pretrained weights.  Returns the feature source in effect.
+    writes each layer's *actual* batch statistics (over the first
+    ``_CALIBRATION_CAP`` images, canonical order) into the frozen stats,
+    making the random-feature FID discriminative.
+
+    PURE: the result depends only on (base weights, calibration images) —
+    never on what else the process evaluated earlier.  Two recordings of the
+    same seeded run therefore produce identical FID/IS columns regardless of
+    process history (this replaces a first-caller-wins global calibration
+    that made committed golden FIDs unreproducible).  Returns the base
+    variables unchanged for pretrained weights.  Results are cached by
+    content hash.
     """
-    global _CACHED
     model, variables, source = get_inception()
     if source != "random-init":
-        return source
-    x = np.asarray(images01, np.float32)
+        return variables
+    x = np.asarray(images01, np.float32)[:_CALIBRATION_CAP]
     if x.shape[-1] == 1:
         x = np.repeat(x, 3, axis=-1)
+    key = _calibration_key(x)
+    if key in _CALIB_CACHE:
+        return _CALIB_CACHE[key]
+
     @jax.jit
     def _calibrate(variables, x):
         x = jax.image.resize(x, (x.shape[0], 299, 299, 3), "bilinear")
@@ -263,22 +293,27 @@ def calibrate(images01: np.ndarray) -> str:
         return model.apply(variables, x, True, mutable=["batch_stats"])[1]
 
     mutated = _calibrate(variables, jnp.asarray(x))
-    variables = {"params": variables["params"], "batch_stats": mutated["batch_stats"]}
-    _CACHED = (model, variables, "random-init-calibrated")
-    _RUN_CACHE.clear()
-    return _CACHED[2]
+    out = {"params": variables["params"], "batch_stats": mutated["batch_stats"]}
+    if len(_CALIB_CACHE) >= 8:  # a run holds at most a couple of trackers
+        _CALIB_CACHE.pop(next(iter(_CALIB_CACHE)))
+    _CALIB_CACHE[key] = out
+    return out
 
 
 _RUN_CACHE: dict = {}
 
 
 def _run_fn():
-    """Jitted extractor, cached so repeated evals never retrace."""
+    """Jitted extractor, cached so repeated evals never retrace.
+
+    Takes the variables as an ARGUMENT (not a closure) so one compiled
+    executable serves the base weights and every per-tracker calibrated
+    variant (same shapes/dtypes -> same program)."""
     if "run" not in _RUN_CACHE:
-        model, variables, _ = get_inception()
+        model, _, _ = get_inception()
 
         @jax.jit
-        def run(x):
+        def run(variables, x):
             if x.shape[-1] == 1:
                 x = jnp.repeat(x, 3, axis=-1)
             x = jax.image.resize(x, (x.shape[0], 299, 299, 3), "bilinear")
@@ -290,7 +325,8 @@ def _run_fn():
     return _RUN_CACHE["run"]
 
 
-def inception_features(images: jax.Array, batch: Optional[int] = None
+def inception_features(images: jax.Array, batch: Optional[int] = None,
+                       variables: Optional[dict] = None,
                        ) -> Tuple[np.ndarray, np.ndarray]:
     """Pool features + softmax probs for images in [0, 1], any HxW, 1 or 3 ch.
 
@@ -300,8 +336,14 @@ def inception_features(images: jax.Array, batch: Optional[int] = None
     shapes ever compile; tiny inputs (the reference's 5-sample protocol)
     use an 8-wide bucket instead of 64 (8x less padded compute), larger
     ones the standard 64.
+
+    ``variables`` selects the weight set (e.g. a tracker's calibrated
+    variables from :func:`calibrated_variables`); defaults to the base
+    (pretrained or deterministic random-init) weights.
     """
     run = _run_fn()
+    if variables is None:
+        variables = get_inception()[1]
     n = images.shape[0]
     if batch is None:
         batch = 8 if n <= 8 else 64
@@ -312,7 +354,7 @@ def inception_features(images: jax.Array, batch: Optional[int] = None
         if take < batch:
             pad = np.zeros((batch - take, *part.shape[1:]), part.dtype)
             part = np.concatenate([np.asarray(part), pad])
-        f, p = run(part)
+        f, p = run(variables, part)
         fs.append(np.asarray(f[:take], np.float64))
         ps.append(np.asarray(p[:take], np.float64))
     return np.concatenate(fs), np.concatenate(ps)

@@ -101,6 +101,57 @@ def test_inception_network_runs():
     assert feats_g.shape == (2, 2048)
 
 
+@pytest.mark.slow
+def test_fid_calibration_is_order_independent():
+    """FID/IS are pure functions of (real set, fake set): building another
+    tracker first must not change a tracker's scores.  Regression for the
+    round-2 golden reproducibility bug: a global first-caller-wins BN
+    calibration made committed FIDs depend on what the process evaluated
+    first."""
+    import mdgan_tpu.metrics.inception as inc
+    from mdgan_tpu.metrics.fid import FIDTracker
+
+    rng = np.random.default_rng(7)
+    real_a = rng.uniform(0, 1, (3, 16, 16, 3)).astype(np.float32)
+    real_b = rng.uniform(0, 1, (3, 16, 16, 3)).astype(np.float32)
+    fakes = rng.uniform(0, 1, (4, 16, 16, 3)).astype(np.float32)
+
+    inc._CALIB_CACHE.clear()
+    t_first = FIDTracker(real_b)
+    fid_first = t_first.score(fakes)
+    is_first = t_first.inception_score(fakes, splits=1)
+
+    inc._CALIB_CACHE.clear()
+    FIDTracker(real_a)  # a different tracker calibrates first this time
+    t_second = FIDTracker(real_b)
+    assert t_second.score(fakes) == fid_first
+    assert t_second.inception_score(fakes, splits=1) == is_first
+
+
+@pytest.mark.slow
+def test_fid_calibration_cap(monkeypatch):
+    """Calibration uses only the first _CALIBRATION_CAP images in canonical
+    order, so the caller's sample-count choice can't perturb the feature
+    space (and a 10k-real standard-protocol tracker can't OOM the
+    calibration pass)."""
+    import jax
+
+    import mdgan_tpu.metrics.inception as inc
+
+    rng = np.random.default_rng(8)
+    imgs = rng.uniform(0, 1, (3, 16, 16, 3)).astype(np.float32)
+    monkeypatch.setattr(inc, "_CALIBRATION_CAP", 2)
+    inc._CALIB_CACHE.clear()
+    v1 = inc.calibrated_variables(imgs)
+    imgs2 = imgs.copy()
+    imgs2[2] = 0.5  # beyond the cap: must not matter
+    inc._CALIB_CACHE.clear()
+    v2 = inc.calibrated_variables(imgs2)
+    for a, b in zip(jax.tree.leaves(v1), jax.tree.leaves(v2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    inc._CALIB_CACHE.clear()
+
+
 def test_low_rank_frechet_equals_dense():
     """frechet_from_features (SVD/Gram form) == the dense sqrtm formulation."""
     from mdgan_tpu.metrics.fid import frechet_from_features

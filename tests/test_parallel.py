@@ -189,6 +189,9 @@ def test_trainer_level_ppermute_swap_matches_gather(tmp_path, monkeypatch,
         def score(self, fakes):
             return 1.0
 
+        def inception_score(self, fakes, splits=1):
+            return (1.0, 0.0)
+
     monkeypatch.setattr(fid_mod, "FIDTracker", Tracker)
     monkeypatch.setattr(fid_mod, "inception_score",
                         lambda imgs, splits=1: (1.0, 0.0))

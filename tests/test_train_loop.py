@@ -25,6 +25,9 @@ def stub_inception(monkeypatch):
         def score(self, fakes):
             return 123.0
 
+        def inception_score(self, fakes, splits=1):
+            return (2.0, 0.0)
+
     monkeypatch.setattr(fid_mod, "FIDTracker", FakeTracker)
     monkeypatch.setattr(fid_mod, "inception_score", lambda imgs, splits=1: (2.0, 0.0))
 
@@ -303,6 +306,9 @@ def test_eval_backpressure_bounds_queue(tmp_path, monkeypatch):
         def score(self, fakes):
             time_mod.sleep(0.3)
             return 1.0
+
+        def inception_score(self, fakes, splits=1):
+            return (1.0, 0.0)
 
     monkeypatch.setattr(fid_mod, "FIDTracker", SlowTracker)
     monkeypatch.setattr(fid_mod, "inception_score", lambda imgs, splits=1: (1.0, 0.0))
