@@ -120,6 +120,27 @@ def record_bench(root: Path) -> None:
     capture(["--config", "scaling"], "BENCH_scaling_r03.json")
 
 
+def record_bench_families(root: Path) -> None:
+    """The non-headline BASELINE.json configs (REPORT.md §4 family table),
+    one JSON line each -> BENCH_families_r03.json."""
+    import json as _json
+
+    sys.path.insert(0, str(root))
+    import bench
+
+    out = root / "artifacts" / "bench"
+    out.mkdir(parents=True, exist_ok=True)
+    lines = []
+    for name in ("mnist4", "celeba16", "ffhq128_stylegan"):
+        r = bench.bench_mdgan(name)
+        print(f"== bench family {name} -> {r}", flush=True)
+        lines.append(_json.dumps(r))
+    r = bench.bench_standalone()
+    print(f"== bench standalone -> {r}", flush=True)
+    lines.append(_json.dumps(r))
+    (out / "BENCH_families_r03.json").write_text("\n".join(lines) + "\n")
+
+
 def prune_weights(root: Path) -> None:
     """Drop per-eval generator exports except the best-FID snapshot + final
     (the 2k-golden convention from round 2)."""
@@ -164,6 +185,8 @@ def main() -> None:
         record_headline(root)
     if "bench" in steps:
         record_bench(root)
+    if "families" in steps:
+        record_bench_families(root)
 
 
 if __name__ == "__main__":
