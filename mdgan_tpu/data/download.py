@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import os
+import shutil
 import tarfile
 import urllib.request
 from pathlib import Path
@@ -54,28 +56,37 @@ def _fetch(url: str, dest: Path, checksum: Optional[str]) -> None:
 
     ``checksum`` is ``"<algo>:<hexdigest>"`` (md5/sha256/...) or None to skip
     verification (discouraged; used only when a caller supplies trusted local
-    sources without digests)."""
+    sources without digests).
+
+    Concurrent-safe: the temp name is per-process (the documented local
+    multi-process ``jax.distributed`` launch calls ``ensure_dataset`` from
+    every process against a shared ``--data_dir``), so racing fetches never
+    share a partial file; the digest covers exactly the bytes this process
+    wrote to its own temp file, and the final ``replace`` is atomic — either
+    winner installs verified content."""
     dest.parent.mkdir(parents=True, exist_ok=True)
-    tmp = dest.with_name(dest.name + ".part")
+    tmp = dest.with_name(f"{dest.name}.part.{os.getpid()}")
     h = hashlib.new(checksum.split(":", 1)[0]) if checksum else None
     log.info("downloading %s -> %s", url, dest)
-    with urllib.request.urlopen(url) as r, open(tmp, "wb") as f:
-        while True:
-            chunk = r.read(1 << 20)
-            if not chunk:
-                break
-            if h is not None:
-                h.update(chunk)
-            f.write(chunk)
-    if checksum:
-        want = checksum.split(":", 1)[1].lower()
-        got = h.hexdigest()
-        if got != want:
-            tmp.unlink(missing_ok=True)
-            raise ValueError(
-                f"checksum mismatch for {url}: got {got}, want {want} "
-                "(refusing to install a corrupt/tampered file)")
-    tmp.replace(dest)
+    try:
+        with urllib.request.urlopen(url) as r, open(tmp, "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                if h is not None:
+                    h.update(chunk)
+                f.write(chunk)
+        if checksum:
+            want = checksum.split(":", 1)[1].lower()
+            got = h.hexdigest()
+            if got != want:
+                raise ValueError(
+                    f"checksum mismatch for {url}: got {got}, want {want} "
+                    "(refusing to install a corrupt/tampered file)")
+        tmp.replace(dest)
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def download_mnist(data_dir: str, base_url: str = MNIST_BASE,
@@ -105,14 +116,30 @@ def download_cifar10(data_dir: str, base_url: str = CIFAR10_BASE,
     archive = root / name
     if not archive.exists():
         _fetch(f"{base_url}/{name}", archive, checksum or default_sum)
-    with tarfile.open(archive, "r:gz") as tf:
-        try:
-            tf.extractall(root, filter="data")  # py>=3.12 safe-extract filter
-        except TypeError:  # older tarfile: no filter kwarg
-            tf.extractall(root)
-    if not batches.exists():
-        raise FileNotFoundError(
-            f"{name} extracted but {batches} not found — unexpected archive layout")
+    # extract into a per-process staging dir, then atomically rename the
+    # batch directory into place — concurrent extractors (multi-process
+    # launch, shared --data_dir) must never interleave writes into the same
+    # final files
+    stage = root / f".extract.{os.getpid()}"
+    try:
+        with tarfile.open(archive, "r:gz") as tf:
+            try:
+                tf.extractall(stage, filter="data")  # py>=3.12 safe-extract
+            except TypeError:  # older tarfile: no filter kwarg
+                tf.extractall(stage)
+        extracted = stage / batches.name
+        if not extracted.exists():
+            raise FileNotFoundError(
+                f"{name} extracted but no {batches.name}/ inside — "
+                "unexpected archive layout")
+        if not batches.exists():
+            try:
+                extracted.rename(batches)
+            except OSError:
+                if not batches.exists():  # lost the race != other failure
+                    raise
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return batches
 
 

@@ -178,9 +178,11 @@ class MDGANTrainer:
             self._eval_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="mdgan-eval")
         self._eval_backlog: Deque[Future] = deque()
-        # (server row, eval future, chunk-metrics future) per finished chunk
+        # (server row, eval future, one-slot holder later filled with the
+        # batched metrics-fetch future) per finished chunk
         self._pending_rows: Deque[
-            Tuple[Dict, Optional[Future], Optional[Future]]] = deque()
+            Tuple[Dict, Optional[Future], Optional[List[Optional[Future]]]]
+        ] = deque()
         # Background worker-CSV writer: row building + IO for the per-round
         # worker logs happen off the chunk critical path (the host loop is
         # otherwise idle-blocking on device_get -> write -> dispatch; at 30k
@@ -204,6 +206,26 @@ class MDGANTrainer:
         self._ckpt_futs: Deque[Future] = deque()
 
     # ------------------------------------------------------------------
+
+    def _replicate_metrics(self, m: Dict, with_x_eval: bool) -> Dict:
+        """All-gather a chunk's metrics for host fetching (multi-host only).
+
+        The scalar per-round series are gathered every chunk (the batched
+        CSV fetch needs them on process 0); the ``x_eval`` image batch is
+        gathered only when the chunk ends on an eval round — on other chunks
+        it stays worker-sharded and unread.  Callers must pass the same
+        ``with_x_eval`` on every process (both paths dispatch jitted
+        collectives in lockstep)."""
+        if not self._multihost:
+            return m
+        if with_x_eval:
+            return dict(self._replicate(m))
+        rest = dict(m)
+        x_eval = rest.pop("x_eval", None)
+        out = dict(self._replicate(rest))
+        if x_eval is not None:
+            out["x_eval"] = x_eval
+        return out
 
     def _resume(self) -> None:
         state, sampler_state, host_rng, step = self.ckpt.restore(self.state)
@@ -525,8 +547,17 @@ class MDGANTrainer:
                     self.state, chunk_metrics_dev = self.engine.chunk_fn(clen)(
                         self.state, self.shards, idx)
                     # multi-host: all-gather the worker-sharded metrics so
-                    # every process holds a fetchable replicated copy
-                    chunk_metrics_dev = self._replicate(chunk_metrics_dev)
+                    # every process holds a fetchable replicated copy.
+                    # x_eval (the k·b image batch) is consumed only on
+                    # eval-boundary rounds — gather it only there.  The
+                    # boundary test is a pure function of (cur, clen), so
+                    # every process takes the same branch (lockstep).
+                    e_end = cur + clen - 1
+                    will_eval = ((tc.log_interval > 0
+                                  and e_end % tc.log_interval == 0)
+                                 or e_end == tc.epochs - 1)
+                    chunk_metrics_dev = self._replicate_metrics(
+                        chunk_metrics_dev, with_x_eval=will_eval)
             cur += clen
             rounds_done += clen
             e = cur - 1  # just-completed round
@@ -712,6 +743,7 @@ class StandaloneTrainer:
 
         tc = self.cfg.train
         cur = int(self.state.step)
+        rounds_done = 0
         metrics = None
         t_start = time.time()
         while cur < tc.epochs:
@@ -721,10 +753,16 @@ class StandaloneTrainer:
             idx = jnp.asarray(self.sampler.next_chunk(clen)[:, 0, :])
             self.logger.begin_row(spans_lib.server_row_template(cur, 0.0, 0.0))
             with self.logger.span("calc_gradients"):
-                self.state, metrics = self.engine.chunk_fn(clen)(
+                self.state, metrics_dev = self.engine.chunk_fn(clen)(
                     self.state, self.data, idx)
-                metrics = jax.device_get(metrics)
+                # fetch only the scalar series every chunk; the x_eval image
+                # batch is pulled lazily inside the eval branch (it is dead
+                # weight on every non-eval chunk, and a device->host round
+                # trip costs ~1.5 s on tunneled runtimes)
+                metrics = jax.device_get(
+                    {k: v for k, v in metrics_dev.items() if k != "x_eval"})
             cur += clen
+            rounds_done += clen
             e = cur - 1
             # label the row by the round whose END it records (reference
             # standalone_gan.py logs at end of round e), matching MDGANTrainer
@@ -739,7 +777,7 @@ class StandaloneTrainer:
                 # side (``standalone_gan.py:235-247``), both capped to
                 # n_samples
                 fakes01 = np.asarray(losses.denormalize_to_unit(
-                    metrics["x_eval"]))[: tc.n_samples]
+                    jax.device_get(metrics_dev["x_eval"])))[: tc.n_samples]
                 real01 = self.full_data[np.asarray(idx[-1])].astype(
                     np.float32)[: tc.n_samples] / 255.0
                 images_lib.save_image_grid(
@@ -766,9 +804,11 @@ class StandaloneTrainer:
             self.state.d.params, self.state.d.stats)
         wall = time.time() - t_start
         return {
-            "rounds": cur,
+            # rounds trained by THIS run (a resumed run must not bill
+            # pre-resume rounds to its own wall time), matching MDGANTrainer
+            "rounds": rounds_done,
             "wall_time_s": wall,
-            "steps_per_sec": cur / wall if wall > 0 else 0.0,
+            "steps_per_sec": rounds_done / wall if wall > 0 else 0.0,
             "final_mean_d_loss": float(metrics["mean_d_loss"][-1]) if metrics else None,
             "final_mean_g_loss": float(metrics["mean_g_loss"][-1]) if metrics else None,
             "evals": self._eval_history,

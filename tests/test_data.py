@@ -189,7 +189,7 @@ def test_download_mnist_offline_file_url(tmp_path):
     out = download_mnist(str(data_dir), base_url=src.as_uri(),
                          checksums=checksums)
     assert sorted(p.name for p in out.iterdir()) == sorted(
-        n for n, _ in MNIST_FILES)
+        n for n, _ in MNIST_FILES)  # incl.: no .part.<pid> temp droppings
     data, labels = builtin.load_mnist(str(data_dir), fallback="error")
     assert data.shape == (8, 28, 28, 1) and labels.shape == (8,)
 
@@ -235,12 +235,16 @@ def test_download_cifar10_offline_and_checksum_rejection(tmp_path):
         download_cifar10(str(bad_dir), base_url=src.as_uri(),
                          checksum="sha256:" + "0" * 64)
     assert not (bad_dir / "cifar10" / "cifar-10-batches-py").exists()
-    assert not list((bad_dir / "cifar10").glob("*.tar.gz"))
+    assert not list((bad_dir / "cifar10").glob("*.tar.gz*"))  # no .part either
 
     data_dir = tmp_path / "data"
     batches = download_cifar10(
         str(data_dir), base_url=src.as_uri(),
         checksum="sha256:" + hashlib.sha256(raw).hexdigest())
     assert batches.exists()
+    # extraction stages through a per-process dir that must be cleaned up
+    # (concurrent multi-process launches share --data_dir)
+    assert not list((data_dir / "cifar10").glob(".extract.*"))
+    assert not list((data_dir / "cifar10").glob("*.part.*"))
     data, labels = builtin.load_cifar10(str(data_dir), fallback="error")
     assert data.shape == (20, 32, 32, 3) and labels.shape == (20,)
