@@ -142,8 +142,14 @@ def record_bench_families(root: Path) -> None:
 
 
 def prune_weights(root: Path) -> None:
-    """Drop per-eval generator exports except the best-FID snapshot + final
-    (the 2k-golden convention from round 2)."""
+    """Make the committed inventory match each run's MANIFEST:
+
+    * both runs: drop per-eval generator exports except the best-FID
+      snapshot + final (the 2k-golden convention from round 2);
+    * headline only (its MANIFEST's pruned-contents list): drop the 8 worker
+      CSVs (reproducible from the seeded command; the 2k golden commits the
+      worker-level ground truth) and keep only the 6 listed image grids —
+      rounds 0, 300, the 1/3- and 2/3-spread evals, best-FID, and final."""
     import csv
 
     for run in ("golden/cifar10_w8_r2000", "headline/cifar10_w8_r30000"):
@@ -160,6 +166,21 @@ def prune_weights(root: Path) -> None:
             if stem != "final" and (not stem.isdigit() or int(stem) not in keep):
                 p.unlink()
         print(f"pruned {run}: kept best-FID {sorted(keep)} + final", flush=True)
+
+        if run.startswith("headline/"):
+            for p in sorted((out / "logs").glob("mdgan.*.worker.*.logs.csv")):
+                p.unlink()
+            epochs = sorted(int(float(r["epoch"])) for r in rows if r.get("fid"))
+            final, cadence = epochs[-1], epochs[2] - epochs[1]
+            spread = {round(final / 3 / cadence) * cadence,
+                      round(2 * final / 3 / cadence) * cadence}
+            keep_imgs = {0, epochs[1], final} | keep | spread
+            for p in sorted((out / "images").glob("generated_epoch_*.png")):
+                e = p.stem.replace("generated_epoch_", "")
+                if not e.isdigit() or int(e) not in keep_imgs:
+                    p.unlink()
+            print(f"pruned {run}: worker CSVs dropped, images kept "
+                  f"{sorted(keep_imgs)}", flush=True)
 
 
 def main() -> None:
