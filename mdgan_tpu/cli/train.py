@@ -55,7 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--download", action="store_true",
                    help="fetch the dataset's raw files (checksum-verified) "
                         "into --data_dir if absent — the reference loaders' "
-                        "download=True (CIFAR10.py:37, MNIST.py:42), opt-in")
+                        "download=True (CIFAR10.py:37, MNIST.py:42), opt-in. "
+                        "Multi-process launches fetch on EVERY process "
+                        "(concurrent-safe; correct whether or not --data_dir "
+                        "is a shared filesystem) — to avoid the redundant "
+                        "egress, pre-place the files once instead")
     p.add_argument("--max_examples", type=int, default=None)
     # TPU-native knobs
     p.add_argument("--chunk_size", type=int, default=100)

@@ -384,7 +384,7 @@ class MDGANTrainer:
         Loss values are bit-identical for any batch size.
         """
         fetched = jax.device_get(
-            [r["metrics"]["mean_d_loss"] for r in records])  # ONE round trip
+            [r["d_loss"] for r in records])  # ONE round trip
         t1 = time.time()
         t_start = min(max(records[0]["t0"],
                           getattr(self, "_prev_chunk_end", 0.0)), t1)
@@ -428,13 +428,16 @@ class MDGANTrainer:
             # overlap its successor's back-filled start
             server_row["end.epoch"] = t1
             # swap/checkpoint child spans were stamped at async DISPATCH time,
-            # which can precede this back-filled execution window; relocate
-            # them (preserving each measured duration) to end at t1 so no
-            # child span falls outside its parent epoch span on swap rounds.
+            # which can fall anywhere relative to this back-filled execution
+            # window (before t0 when dispatch ran ahead; past t1 when the
+            # interpolated window is shorter than the dispatch gap); relocate
+            # any out-of-window span (preserving its measured duration) to
+            # end at t1 so no child span falls outside its parent epoch span.
             for child in ("swap", "checkpoint"):
                 s = server_row.get(f"start.{child}")
                 en = server_row.get(f"end.{child}")
-                if isinstance(s, float) and isinstance(en, float) and s < t0:
+                if (isinstance(s, float) and isinstance(en, float)
+                        and (s < t0 or en > t1)):
                     d = min(en - s, t1 - t0)
                     server_row[f"start.{child}"] = t1 - d
                     server_row[f"end.{child}"] = t1
@@ -626,11 +629,18 @@ class MDGANTrainer:
             # _write_worker_rows_batch).
             row = self.logger.take_row()
             holder: List[Optional[Future]] = [None]
+            # hold ONLY the per-round loss series, not the whole metrics
+            # dict — keeping a reference to x_eval would pin every queued
+            # chunk's image batch in device memory until its batch is fetched
             self._metrics_batch.append(dict(
-                metrics=chunk_metrics_dev, t0=t_chunk0, e=e,
+                d_loss=chunk_metrics_dev["mean_d_loss"], t0=t_chunk0, e=e,
                 swapped_with=swapped_with, row=row, fut_holder=holder))
             self._pending_rows.append((row, eval_fut, holder))
-            if len(self._metrics_batch) >= max(tc.metrics_flush, 1):
+            # flush trigger is clamped: a --metrics_flush larger than the
+            # run's chunk count would otherwise never submit a batch, and
+            # the depth-2 throttle below (the only backpressure bounding
+            # device queue depth + held chunk outputs) would never engage
+            if len(self._metrics_batch) >= max(1, min(tc.metrics_flush, 64)):
                 batch_fut = self._submit_metrics_batch()
                 # pipeline throttle: at most 2 metrics batches may be
                 # dispatched ahead of their fetch (bounds device queue depth

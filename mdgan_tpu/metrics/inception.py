@@ -232,6 +232,11 @@ def get_inception(weights_path: Optional[str] = None):
     for cand in candidates:
         if cand and Path(cand).exists():
             variables = load_torch_npz(Path(cand), variables)
+            # the loader yields host numpy arrays; put them on device ONCE —
+            # the jitted extractor takes variables as an argument, so host
+            # leaves would otherwise re-upload the full ~90 MB pytree on
+            # every batch call
+            variables = jax.tree.map(jnp.asarray, variables)
             source = "pretrained"
             break
     _CACHED = (model, variables, source)
@@ -286,13 +291,18 @@ def calibrated_variables(images01) -> dict:
     if key in _CALIB_CACHE:
         return _CALIB_CACHE[key]
 
-    @jax.jit
-    def _calibrate(variables, x):
-        x = jax.image.resize(x, (x.shape[0], 299, 299, 3), "bilinear")
-        x = x * 2.0 - 1.0
-        return model.apply(variables, x, True, mutable=["batch_stats"])[1]
+    # jitted once per (model, input shape) and cached alongside the
+    # extractor — callers that calibrate a fresh tracker every eval round
+    # (the standalone per-round FID protocol) must not retrace per round
+    if "calibrate" not in _RUN_CACHE:
+        @jax.jit
+        def _calibrate(variables, x):
+            x = jax.image.resize(x, (x.shape[0], 299, 299, 3), "bilinear")
+            x = x * 2.0 - 1.0
+            return model.apply(variables, x, True, mutable=["batch_stats"])[1]
 
-    mutated = _calibrate(variables, jnp.asarray(x))
+        _RUN_CACHE["calibrate"] = _calibrate
+    mutated = _RUN_CACHE["calibrate"](variables, jnp.asarray(x))
     out = {"params": variables["params"], "batch_stats": mutated["batch_stats"]}
     if len(_CALIB_CACHE) >= 8:  # a run holds at most a couple of trackers
         _CALIB_CACHE.pop(next(iter(_CALIB_CACHE)))
