@@ -257,6 +257,34 @@ def test_batched_metrics_spans_non_overlapping(tmp_path, stub_inception):
         assert a == b  # bit-identical CSV loss columns for any metrics_flush
 
 
+def test_metrics_flush_above_chunk_count_still_flushes(tmp_path, stub_inception):
+    """A --metrics_flush far larger than the run's chunk count must not
+    starve the batched fetch: the clamp (train_loop submits at <=64 held
+    chunks) keeps backpressure engaged and the end-of-run force submit
+    drains the remainder — every worker row still lands, losses identical
+    to a per-chunk-fetch run."""
+    import csv
+
+    argv = ["--mode", "mdgan", "--num_workers", "2", "--epochs", "30",
+            "--batch_size", "2", "--chunk_size", "3", "--swap_interval", "0",
+            "--log_interval", "0", "--metrics_flush", "100000"]
+    tr = MDGANTrainer(_cfg(tmp_path, argv))
+    summary = tr.train()
+    tr.close()
+    assert summary["rounds"] == 30
+    argv1 = [x if x != "100000" else "1" for x in argv]
+    tr1 = MDGANTrainer(_cfg(tmp_path / "m1", argv1))
+    summary1 = tr1.train()
+    tr1.close()
+    assert summary1["final_mean_d_loss"] == summary["final_mean_d_loss"]
+    for w in (1, 2):
+        a = [r["mean_d_loss"] for r in csv.DictReader(open(
+            tmp_path / "logs" / f"mdgan.2.SyntheticMNIST.worker.{w}.logs.csv"))]
+        b = [r["mean_d_loss"] for r in csv.DictReader(open(
+            tmp_path / "m1" / "logs" / f"mdgan.2.SyntheticMNIST.worker.{w}.logs.csv"))]
+        assert len(a) == 30 and a == b
+
+
 def test_chunk_schedule_randomized_invariants():
     """Property test over the host chunk scheduler: replaying _next_event's
     clipping must cover every round exactly once and place every swap, eval,
