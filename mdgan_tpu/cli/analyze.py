@@ -58,6 +58,11 @@ def analyze_file(path: Path) -> dict:
     losses = [r["mean_d_loss"] for r in rows if isinstance(r.get("mean_d_loss"), float)]
     if losses:
         report["final_mean_d_loss"] = losses[-1]
+    # straggler runs (--straggler_rate): accepted-feedback counts per row
+    nfb = [r["n_feedbacks"] for r in rows if isinstance(r.get("n_feedbacks"), float)]
+    if nfb:
+        report["n_feedbacks"] = {"mean": float(np.mean(nfb)),
+                                 "min": int(min(nfb)), "max": int(max(nfb))}
     return report
 
 
@@ -116,7 +121,7 @@ def plot_file(path: Path, out_dir: Path) -> None:
         fig.savefig(out_dir / f"{stem}.d_loss.png", dpi=120)
         plt.close(fig)
 
-    for metric in ("fid", "is", "fid_standard", "is_standard"):
+    for metric in ("fid", "is", "fid_standard", "is_standard", "n_feedbacks"):
         pts = [(r["epoch"], r[metric]) for r in rows
                if isinstance(r.get(metric), float)]
         if pts:

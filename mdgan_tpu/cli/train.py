@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "collective permute needs one worker per device on "
                         "the mesh; gather works at any ratio; auto picks "
                         "ppermute when eligible")
+    p.add_argument("--straggler_rate", type=float, default=0.0,
+                   help="simulate the reference's proposed server-side "
+                        "feedback timeout (report discussion.tex:51-55): each "
+                        "round every worker's feedback is discarded with this "
+                        "probability; the generator averages the survivors "
+                        "(at least one always survives). 0 disables")
     p.add_argument("--sync_eval", action="store_true",
                    help="run FID/IS eval inline on the round loop (the "
                         "reference's behaviour) instead of on a background "
@@ -119,6 +125,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         fused_adam=args.fused_adam,
         pallas_sampling=args.pallas_sampling,
         swap_impl=args.swap_impl,
+        straggler_rate=args.straggler_rate,
         n_samples=args.n_samples,
         eval_n_samples=args.eval_n_samples,
         async_eval=not args.sync_eval,

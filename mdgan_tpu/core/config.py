@@ -138,8 +138,20 @@ class TrainConfig:
     # moments in place (reference ``src/actors/worker.py:253-283``), so parity
     # default is False.
     swap_opt_state: bool = False
-
-    # --- evaluation ---
+    # --- straggler tolerance (reference-proposed, unimplemented there) ---
+    # The reference proposes (report ``sections/discussion.tex:51-55``) a
+    # server-side feedback timeout: proceed with whichever worker feedbacks
+    # arrived in time and discard the late ones.  It never implements it.  On
+    # a lockstep SPMD mesh there are no real stragglers, so this is built as a
+    # seeded *simulation* of that policy: each round every worker's feedback
+    # is independently "late" (discarded by the server) with this
+    # probability.  Discriminator training is untouched (the drop happens
+    # after the worker sent its payload); the generator step averages over
+    # the surviving feedbacks, 1/(b*|S|), and the earliest worker (smallest
+    # arrival draw) always survives, so |S| >= 1 — exactly the proposal's
+    # "at least one feedback received" contract.  0.0 disables the code path
+    # entirely (the compiled program is the parity program).
+    straggler_rate: float = 0.0
     n_samples: int = 5          # reference 5-sample FID (``server.py:82``)
     eval_n_samples: int = 0     # standard-protocol FID sample count (0 = off)
     # Run FID/IS + grid/weights IO on a background thread from a host snapshot

@@ -20,6 +20,7 @@ DATA = 3
 DROPOUT = 4
 SWAP = 5
 EVAL = 6
+STRAGGLER = 7  # per-round feedback-arrival draws (straggler simulation)
 
 
 def root_key(seed: int) -> jax.Array:

@@ -69,6 +69,9 @@ class MDGANEngine:
     ):
         if num_workers < 1:
             raise ValueError("need at least one discriminator worker")
+        if not 0.0 <= train_cfg.straggler_rate < 1.0:
+            raise ValueError(
+                f"straggler_rate must be in [0, 1), got {train_cfg.straggler_rate}")
         self.spec = spec
         self.cfg = train_cfg
         self.n = num_workers
@@ -196,10 +199,18 @@ class MDGANEngine:
     # ------------------------------------------------------------------
 
     def _d_region(self, d_params, d_stats, d_opt, x_k, data, idx, kdrop,
-                  w_ids, constrain):
+                  w_ids, constrain, fb_mask=None):
         """Worker-local phases of the round (reference ``worker.py:157-286``):
         private-shard sampling, ``local_epochs`` D Adam steps, post-update
         error-feedback cotangents.
+
+        ``fb_mask`` (straggler simulation, config ``straggler_rate``): a
+        replicated (N,) bool vector of which workers' feedbacks the server
+        accepted this round.  Dropped feedbacks are zeroed BEFORE the
+        scatter-add — the discriminator update and the ``fb_sq`` payload
+        metric are untouched, because the reference's proposed timeout
+        (report ``discussion.tex:51-55``) discards late feedback at the
+        *server* after the worker has already trained and sent it.
 
         Operates on whatever slice of the worker stack it is handed — the full
         stack single-device / compiler-sharded, or the device-local slice
@@ -284,15 +295,20 @@ class MDGANEngine:
 
         # (5a) route feedbacks onto their source batches (server.py:266-302);
         # the cross-slice sum/scaling happens in the caller.
+        fb_sq = jnp.sum(feedback.astype(jnp.float32) ** 2)
+        if fb_mask is not None:
+            # server-side straggler discard: late feedbacks contribute zero
+            feedback = feedback * fb_mask[w_ids].astype(feedback.dtype)[
+                :, None, None, None, None]
         cot = (
             jnp.zeros((k, b, h, w, c), x_k.dtype)
             .at[g_assign]
             .add(feedback)
         )
-        fb_sq = jnp.sum(feedback.astype(jnp.float32) ** 2)
         return d_params, d_stats, d_opt, mean_d_loss, g_losses, cot, fb_sq
 
-    def _d_region_shard_map(self, d_params, d_stats, d_opt, x_k, data, idx, kdrop):
+    def _d_region_shard_map(self, d_params, d_stats, d_opt, x_k, data, idx,
+                            kdrop, fb_mask=None):
         """The D region as an explicit shard_map over the workers mesh axis.
 
         XLA's SPMD partitioner cannot split the batch-grouped convolutions
@@ -344,25 +360,32 @@ class MDGANEngine:
         specs_d = (worker_stacked_spec(d_params), worker_stacked_spec(d_stats),
                    worker_stacked_spec(d_opt))
 
-        def body(d_params, d_stats, d_opt, x_k, data, idx, kdrop):
+        def body(d_params, d_stats, d_opt, x_k, data, idx, kdrop, *mask_arg):
             shard_i = jax.lax.axis_index(axis)
             w_ids = shard_i * nl + jnp.arange(nl)
             (d_params, d_stats, d_opt, mean_d_loss, g_losses, cot,
              fb_sq) = self._d_region(d_params, d_stats, d_opt, x_k, data, idx,
-                                     kdrop, w_ids, constrain_local)
+                                     kdrop, w_ids, constrain_local,
+                                     fb_mask=mask_arg[0] if mask_arg else None)
             # THE collective of the algorithm: feedback cotangents summed
             # across workers over ICI.
             cot = jax.lax.psum(cot, axis)
             fb_sq = jax.lax.psum(fb_sq, axis)
             return d_params, d_stats, d_opt, mean_d_loss, g_losses, cot, fb_sq
 
+        # the straggler mask (if any) is replicated: every shard sees the
+        # full (N,) accept vector and slices its own workers by w_ids
+        extra = (P(),) if fb_mask is not None else ()
         mapped = jax.shard_map(
             body, mesh=self.mesh, axis_names={axis},
-            in_specs=(*specs_d, P(), P(axis), P(axis), P()),
+            in_specs=(*specs_d, P(), P(axis), P(axis), P(), *extra),
             out_specs=(*specs_d, P(axis), P(axis), P(), P()),
             check_vma=False,
         )
-        return mapped(d_params, d_stats, d_opt, x_k, data, idx, kdrop)
+        args = (d_params, d_stats, d_opt, x_k, data, idx, kdrop)
+        if fb_mask is not None:
+            args += (fb_mask,)
+        return mapped(*args)
 
     def _step(self, st: MDGANState, data: jax.Array, idx: jax.Array, step_no: jax.Array):
         """One MD-GAN round on stacked arrays.
@@ -375,6 +398,18 @@ class MDGANEngine:
 
         kz = prng.for_step(st.key, prng.LATENT, step_no)
         kdrop = prng.for_step(st.key, prng.DROPOUT, step_no)
+
+        # Straggler simulation (cfg.straggler_rate, reference proposal
+        # ``discussion.tex:51-55``): draw each worker's feedback "arrival
+        # time" u ~ U(0,1); it beats the server's timeout iff u <= 1 - rate,
+        # and the earliest arrival always survives (the proposal proceeds
+        # once at least one feedback is in).  Static-off: rate == 0.0 leaves
+        # the parity program untouched.
+        fb_mask = None
+        if cfg.straggler_rate > 0.0:
+            u = jax.random.uniform(
+                prng.for_step(st.key, prng.STRAGGLER, step_no), (n,))
+            fb_mask = (u <= 1.0 - cfg.straggler_rate) | (u == jnp.min(u))
 
         # (1) generate k*b fakes in ONE forward, capturing the VJP.
         z = jax.random.normal(kz, (k * b, self.spec.z_dim), jnp.float32)
@@ -400,16 +435,26 @@ class MDGANEngine:
         if self._workers_sharded:
             (d_params, d_stats, d_opt, mean_d_loss, g_losses, cot,
              fb_sq) = self._d_region_shard_map(
-                st.d.params, st.d.stats, st.d.opt, x_k, data, idx, kdrop)
+                st.d.params, st.d.stats, st.d.opt, x_k, data, idx, kdrop,
+                fb_mask=fb_mask)
         else:
             (d_params, d_stats, d_opt, mean_d_loss, g_losses, cot,
              fb_sq) = self._d_region(
                 st.d.params, st.d.stats, st.d.opt, x_k, data, idx, kdrop,
-                jnp.arange(n), self._constrain)
+                jnp.arange(n), self._constrain, fb_mask=fb_mask)
 
         # (5) run the generator VJP once over the summed cotangents with the
-        # reference's exact 1/(b*N) scaling (server.py:266-313).
-        cot = cot.reshape(k * b, h, w, c) * (1.0 / (b * n))
+        # reference's exact 1/(b*N) scaling (server.py:266-313).  Under the
+        # straggler policy the mean runs over the surviving feedbacks only,
+        # 1/(b*|S|) — the denominator the reference's fixed 1/(b*N) would
+        # become once late feedbacks are discarded rather than counted as
+        # zero gradient (|S| >= 1 by construction).
+        if fb_mask is None:
+            cot = cot.reshape(k * b, h, w, c) * (1.0 / (b * n))
+        else:
+            n_fb = jnp.sum(fb_mask.astype(jnp.float32))
+            cot = (cot.reshape(k * b, h, w, c).astype(jnp.float32)
+                   * (1.0 / (b * n_fb))).astype(x_all.dtype)
         g_grad = g_vjp((cot, self._zero_like_stats(g_stats_new)))[0]
 
         g_params, g_opt = state_lib.optimizer_step(
@@ -426,6 +471,10 @@ class MDGANEngine:
             "g_feedback_loss": g_losses,              # (N,) BCE(D_n(X_g),1)
             "feedback_norm": jnp.sqrt(fb_sq),
         }
+        if fb_mask is not None:
+            # how many feedbacks the server accepted this round (|S| in the
+            # reference's proposed timeout policy)
+            metrics["n_feedbacks"] = jnp.sum(fb_mask.astype(jnp.int32))
         # x_all: the k*b images generated DURING this round (pre-update
         # generator) — the exact tensor the reference scores at eval rounds
         # (``server.py:337`` reuses ``X.detach()``, not a regeneration).

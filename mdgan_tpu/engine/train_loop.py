@@ -137,7 +137,9 @@ class MDGANTrainer:
         self._payload_mb = tc.batch_size * h * w * c * 4 / 1024**2
         size_data = 2 * self._payload_mb
         size_fb = self.n * self._payload_mb
-        self._row_template = lambda e: spans_lib.server_row_template(e, size_data, size_fb)
+        straggler = tc.straggler_rate > 0.0
+        self._row_template = lambda e: spans_lib.server_row_template(
+            e, size_data, size_fb, straggler=straggler)
         # only process 0 owns the CSV files; other processes keep identical
         # row bookkeeping through no-op loggers (lockstep control flow)
         def _make_logger(path, template):
@@ -181,8 +183,7 @@ class MDGANTrainer:
         # (server row, eval future, one-slot holder later filled with the
         # batched metrics-fetch future) per finished chunk
         self._pending_rows: Deque[
-            Tuple[Dict, Optional[Future], Optional[List[Optional[Future]]]]
-        ] = deque()
+            Tuple[Dict, Optional[Future], List[Optional[Future]]]] = deque()
         # Background worker-CSV writer: row building + IO for the per-round
         # worker logs happen off the chunk critical path (the host loop is
         # otherwise idle-blocking on device_get -> write -> dispatch; at 30k
@@ -384,26 +385,27 @@ class MDGANTrainer:
         Loss values are bit-identical for any batch size.
         """
         fetched = jax.device_get(
-            [r["d_loss"] for r in records])  # ONE round trip
+            [(r["d_loss"], r["n_fb"]) for r in records])  # ONE round trip
         t1 = time.time()
         t_start = min(max(records[0]["t0"],
                           getattr(self, "_prev_chunk_end", 0.0)), t1)
-        total_rows = sum(d.shape[0] for d in fetched) or 1
+        total_rows = sum(d.shape[0] for d, _ in fetched) or 1
         cursor = t_start
-        for i, (rec, d_losses) in enumerate(zip(records, fetched)):
+        for i, (rec, (d_losses, n_fb)) in enumerate(zip(records, fetched)):
             if i == len(records) - 1:
                 t_end = t1
             else:
                 t_end = cursor + (t1 - t_start) * (d_losses.shape[0] / total_rows)
             self._write_rows_for_chunk(np.asarray(d_losses), cursor, t_end,
                                        rec["e"], rec["swapped_with"],
-                                       rec["row"])
+                                       rec["row"], n_fb)
             cursor = t_end
         self._prev_chunk_end = t1
 
     def _write_rows_for_chunk(self, d_losses: np.ndarray, t0: float, t1: float,
                               e: int, swapped_with,
-                              server_row: Optional[Dict]) -> None:
+                              server_row: Optional[Dict],
+                              n_fb: Optional[np.ndarray] = None) -> None:
         """Append one chunk's per-round worker CSV rows and back-fill its
         held server row's execution-window spans.
 
@@ -417,6 +419,10 @@ class MDGANTrainer:
         n_rows = d_losses.shape[0]
         self._last_d_loss = float(np.mean(d_losses[-1]))
         if server_row is not None:
+            if n_fb is not None:
+                # straggler runs: accepted-feedback count for the row's round
+                # (the chunk's last; the per-round series lives on device only)
+                server_row["n_feedbacks"] = int(n_fb[-1])
             server_row["start.epoch"] = t0
             server_row["start.calc_gradients"] = t0
             server_row["start.epoch_calculation"] = t0
@@ -501,18 +507,17 @@ class MDGANTrainer:
         (end of run), force-submitting any partial metrics batch first."""
         while self._pending_rows:
             row, fut, holder = self._pending_rows[0]
-            metrics_fut = holder[0] if holder is not None else None
-            if holder is not None:
-                if metrics_fut is None:
-                    # chunk still waiting in a partial batch
-                    if not block:
-                        return
-                    self._submit_metrics_batch()
-                    metrics_fut = holder[0]
-                # the log thread stamps the row's real chunk-completion spans
-                if not block and not metrics_fut.done():
+            metrics_fut = holder[0]
+            if metrics_fut is None:
+                # chunk still waiting in a partial batch
+                if not block:
                     return
-                metrics_fut.result()
+                self._submit_metrics_batch()
+                metrics_fut = holder[0]
+            # the log thread stamps the row's real chunk-completion spans
+            if not block and not metrics_fut.done():
+                return
+            metrics_fut.result()
             if fut is not None:
                 if not block and not fut.done():
                     return
@@ -578,7 +583,7 @@ class MDGANTrainer:
                 swapped_with = perm
 
             eval_fut: Optional[Future] = None
-            if (tc.log_interval > 0 and e % tc.log_interval == 0) or e == tc.epochs - 1:
+            if will_eval:  # e == e_end: the predicate computed pre-dispatch
                 # _snapshot_g is a jitted global op: every process dispatches
                 # it (lockstep), but only process 0 scores/writes anything
                 g_snap = self._snapshot_g()
@@ -634,6 +639,7 @@ class MDGANTrainer:
             # chunk's image batch in device memory until its batch is fetched
             self._metrics_batch.append(dict(
                 d_loss=chunk_metrics_dev["mean_d_loss"], t0=t_chunk0, e=e,
+                n_fb=chunk_metrics_dev.get("n_feedbacks"),
                 swapped_with=swapped_with, row=row, fut_holder=holder))
             self._pending_rows.append((row, eval_fut, holder))
             # flush trigger is clamped: a --metrics_flush larger than the

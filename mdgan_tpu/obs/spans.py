@@ -31,8 +31,16 @@ WORKER_OPS = [
 ]
 
 
-def server_row_template(epoch: int, size_data_mb: float, size_feedback_mb: float) -> Dict:
-    """Column layout of the reference server CSV (``server.py:179-208``)."""
+def server_row_template(epoch: int, size_data_mb: float, size_feedback_mb: float,
+                        straggler: bool = False) -> Dict:
+    """Column layout of the reference server CSV (``server.py:179-208``).
+
+    ``straggler=True`` (runs with ``straggler_rate > 0``) appends an
+    ``n_feedbacks`` column — the number of worker feedbacks the server
+    accepted in the row's round under the simulated timeout policy
+    (reference proposal ``discussion.tex:51-55``).  Kept opt-in so parity
+    runs emit the byte-stable superset schema the goldens pin.
+    """
     row = {"epoch": epoch}
     for op in SERVER_OPS:
         row[f"start.{op}"] = None
@@ -50,6 +58,8 @@ def server_row_template(epoch: int, size_data_mb: float, size_feedback_mb: float
         "fid_standard": None, "is_standard": None,
         "start.checkpoint": None, "end.checkpoint": None,
     })
+    if straggler:
+        row["n_feedbacks"] = None
     return row
 
 

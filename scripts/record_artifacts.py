@@ -13,7 +13,8 @@ wedges the tunneled TPU runtime — see .claude/skills/verify/SKILL.md):
 
 Usage:
   PYTHONPATH=/root/.axon_site:/root/repo python scripts/record_artifacts.py \
-      [--steps golden,standalone,headline,bench] [--repo /root/repo]
+      [--steps golden,standalone,headline,bench,families,straggler] \
+      [--repo /root/repo]
 
 Weights pruning (per-eval generator exports) is done afterwards by
 ``--prune`` (kept separate so a crashed run leaves everything inspectable).
@@ -141,6 +142,50 @@ def record_bench_families(root: Path) -> None:
     (out / "BENCH_families_r03.json").write_text("\n".join(lines) + "\n")
 
 
+def record_straggler_sweep(root: Path) -> None:
+    """Straggler-policy convergence sweep (REPORT.md §5.1): seeded
+    2000-round runs at drop rates 0 (control), 0.3, 0.6, 0.9 ->
+    artifacts/bench/STRAGGLER_sweep_r03.json (pinned by
+    tests/test_bench_artifacts.py)."""
+    import numpy as np
+
+    from mdgan_tpu.obs import spans as spans_lib
+
+    out = root / "artifacts" / "bench"
+    out.mkdir(parents=True, exist_ok=True)
+    sweep = {}
+    for rate in ("0", "0.3", "0.6", "0.9"):
+        scratch = Path(f"/tmp/straggler_{rate}")
+        logs, imgs, weights = (_fresh(scratch / "logs"), _fresh(scratch / "imgs"),
+                               _fresh(scratch / "weights"))
+        t0 = time.time()
+        run_train([
+            "--mode", "mdgan", "--dataset", "CIFAR10", "--num_workers", "8",
+            "--epochs", "2000", "--batch_size", "10", "--swap_interval", "500",
+            "--log_interval", "500", "--seed", "11", "--checkpoint_interval", "0",
+            "--straggler_rate", rate,
+            "--log_dir", logs, "--image_dir", imgs, "--weights_dir", weights,
+            "--checkpoint_dir", str(scratch / "ckpt"),
+        ], scratch / "summary.json")
+        wall = time.time() - t0
+        summary = json.loads((scratch / "summary.json").read_text())
+        rows = spans_lib.read_spans(
+            Path(logs) / "mdgan.8.CIFAR10.server.logs.csv")
+        nfb = [r["n_feedbacks"] for r in rows
+               if isinstance(r.get("n_feedbacks"), float)]
+        fids = [r["fid"] for r in rows if isinstance(r.get("fid"), float)]
+        sweep[rate] = dict(
+            final_mean_d_loss=summary["final_mean_d_loss"],
+            wall_s=round(wall, 2),
+            rounds_per_sec=round(2000 / wall, 1),
+            n_feedbacks_mean=round(float(np.mean(nfb)), 2) if nfb else 8.0,
+            best_fid=round(min(fids), 2) if fids else None,
+            final_fid=round(fids[-1], 2) if fids else None,
+        )
+        print(f"== straggler rate={rate}: {sweep[rate]}", flush=True)
+    (out / "STRAGGLER_sweep_r03.json").write_text(json.dumps(sweep, indent=1) + "\n")
+
+
 def prune_weights(root: Path) -> None:
     """Make the committed inventory match each run's MANIFEST:
 
@@ -208,6 +253,8 @@ def main() -> None:
         record_bench(root)
     if "families" in steps:
         record_bench_families(root)
+    if "straggler" in steps:
+        record_straggler_sweep(root)
 
 
 if __name__ == "__main__":

@@ -68,6 +68,28 @@ def test_scaling_sweep_covers_worker_range():
     assert max(imgs) > 100_000
 
 
+def test_straggler_sweep_artifact():
+    """Committed straggler-policy sweep (REPORT.md §5.1): rate 0 control plus
+    three drop rates, each a seeded 2000-round real-TPU run."""
+    path = BENCH / "STRAGGLER_sweep_r03.json"
+    if not path.exists():
+        pytest.skip("straggler sweep not recorded")
+    sweep = json.loads(path.read_text())
+    assert set(sweep) == {"0", "0.3", "0.6", "0.9"}
+    for rate, row in sweep.items():
+        assert row["wall_s"] > 0 and row["rounds_per_sec"] > 0
+        import math
+
+        assert math.isfinite(row["final_mean_d_loss"])
+        # mean accepted count must fall with the drop rate and respect the
+        # >=1-survivor floor
+        assert 1.0 <= row["n_feedbacks_mean"] <= 8.0
+    assert sweep["0"]["n_feedbacks_mean"] == 8.0
+    assert (sweep["0.3"]["n_feedbacks_mean"]
+            > sweep["0.6"]["n_feedbacks_mean"]
+            > sweep["0.9"]["n_feedbacks_mean"])
+
+
 def test_family_benches_cover_every_model_family():
     rows = _lines("BENCH_families_r03.json")
     metrics = {r["metric"] for r in rows}

@@ -1,6 +1,7 @@
 """Span-CSV logger and image-grid tests (reference schema parity)."""
 
 import numpy as np
+import pytest
 
 from mdgan_tpu.obs import images as images_lib
 from mdgan_tpu.obs import spans as spans_lib
@@ -67,6 +68,30 @@ def test_server_superset_columns_roundtrip(tmp_path):
     assert rows[0]["is_standard"] == 3.25
     durs = spans_lib.span_durations(rows)
     assert len(durs["checkpoint"]) == 1 and durs["checkpoint"][0] >= 0
+
+
+def test_straggler_column_is_opt_in(tmp_path):
+    """``n_feedbacks`` appears only for straggler runs (parity runs keep the
+    golden-pinned schema byte-stable) and flows through analyze."""
+    assert "n_feedbacks" not in spans_lib.server_row_template(0, 1.0, 1.0)
+    tmpl = spans_lib.server_row_template(0, 1.0, 1.0, straggler=True)
+    assert list(tmpl)[-1] == "n_feedbacks"  # appended after every other column
+
+    path = tmp_path / "server.logs.csv"
+    logger = spans_lib.SpanLogger(path, tmpl)
+    for nf in (3, 1, 4):
+        logger.begin_row(spans_lib.server_row_template(0, 1.0, 1.0, straggler=True))
+        logger.mark(n_feedbacks=nf)
+        logger.end_row()
+    logger.close()
+    rows = spans_lib.read_spans(path)
+    assert [r["n_feedbacks"] for r in rows] == [3.0, 1.0, 4.0]
+
+    from mdgan_tpu.cli.analyze import analyze_file
+
+    rep = analyze_file(path)
+    assert rep["n_feedbacks"] == {"mean": pytest.approx(8 / 3),
+                                  "min": 1, "max": 4}
 
 
 def test_worker_schema_matches_reference_columns():
