@@ -204,6 +204,77 @@ def test_mesh_sharded_matches_single_device_with_straggler(eight_devices):
 
 
 @pytest.mark.slow
+def test_trainer_resume_preserves_drop_pattern(tmp_path):
+    """Checkpoint/resume under --straggler_rate: the mask folds the GLOBAL
+    step, so a resumed run must replay the same drop pattern and land on
+    bit-identical generator params, and the per-round n_feedbacks rows must
+    agree between the full and the interrupted+resumed run."""
+    import mdgan_tpu.metrics.fid as fid_mod
+    from mdgan_tpu.cli.train import build_parser, config_from_args
+    from mdgan_tpu.engine.train_loop import MDGANTrainer
+    from mdgan_tpu.obs import spans as spans_lib
+
+    class FakeTracker:
+        def __init__(self, real):
+            pass
+
+        def score(self, fakes):
+            return 1.0
+
+        def inception_score(self, fakes, splits=1):
+            return (2.0, 0.0)
+
+    orig = fid_mod.FIDTracker
+    fid_mod.FIDTracker = FakeTracker
+    try:
+        def cfg_for(sub, epochs, resume=False):
+            argv = [
+                "--dataset", "SyntheticMNIST", "--max_examples", "256",
+                "--compute_dtype", "float32", "--mode", "mdgan",
+                "--num_workers", "2", "--epochs", str(epochs),
+                "--batch_size", "4", "--swap_interval", "10",
+                "--log_interval", "15", "--chunk_size", "5",
+                "--straggler_rate", "0.5",
+                "--log_dir", str(tmp_path / sub / "logs"),
+                "--image_dir", str(tmp_path / sub / "imgs"),
+                "--weights_dir", str(tmp_path / sub / "weights"),
+                "--checkpoint_dir", str(tmp_path / sub / "ckpt"),
+            ] + (["--resume"] if resume else [])
+            return config_from_args(build_parser().parse_args(argv))
+
+        t_full = MDGANTrainer(cfg_for("full", 30))
+        t_full.train()
+        full_params = jax.device_get(t_full.state.g.params)
+        t_full.close()
+
+        t_half = MDGANTrainer(cfg_for("half", 16))  # final ckpt at round 15
+        t_half.train()
+        t_half.close()
+        t_res = MDGANTrainer(cfg_for("half", 30, resume=True))
+        assert int(t_res.state.step) == 16
+        t_res.train()
+        res_params = jax.device_get(t_res.state.g.params)
+        t_res.close()
+
+        for la, lb in zip(jax.tree_util.tree_leaves(full_params),
+                          jax.tree_util.tree_leaves(res_params)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+        def nfb_by_epoch(sub):
+            rows = spans_lib.read_spans(
+                tmp_path / sub / "logs" / "mdgan.2.SyntheticMNIST.server.logs.csv")
+            return {r["epoch"]: r["n_feedbacks"] for r in rows
+                    if isinstance(r.get("n_feedbacks"), float)}
+
+        full_nfb, res_nfb = nfb_by_epoch("full"), nfb_by_epoch("half")
+        shared = set(full_nfb) & set(res_nfb)
+        assert shared  # post-resume rows overlap the full run's
+        assert all(full_nfb[e] == res_nfb[e] for e in shared)
+    finally:
+        fid_mod.FIDTracker = orig
+
+
+@pytest.mark.slow
 def test_trainer_csv_has_n_feedbacks_column(tmp_path):
     """A --straggler_rate run writes the superset n_feedbacks column on every
     server row; parity runs (rate 0) keep the golden-pinned schema."""
