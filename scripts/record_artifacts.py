@@ -142,6 +142,39 @@ def record_bench_families(root: Path) -> None:
     (out / "BENCH_families_r03.json").write_text("\n".join(lines) + "\n")
 
 
+def record_scale_runs(root: Path) -> None:
+    """Reference-scale committed runs: the reference's ground truth includes
+    FULL 20-worker (10k rounds) and 40-worker (5k rounds) CIFAR-10 logs
+    (``src/results/logs/mdgan.{20,40}.CIFAR10.*``).  Record the analogous
+    seeded real-TPU runs -> artifacts/scale/, committed lean (server CSV +
+    worker-1 CSV + summary + a few grids; weights dropped — the reference
+    itself commits no weights for these two scales)."""
+    for n, epochs in ((20, 10000), (40, 5000)):
+        out = root / "artifacts" / "scale" / f"cifar10_w{n}_r{epochs}"
+        logs, imgs, weights = (_fresh(out / "logs"), _fresh(out / "images"),
+                               _fresh(out / "weights"))
+        run_train([
+            "--mode", "mdgan", "--dataset", "CIFAR10",
+            "--num_workers", str(n), "--epochs", str(epochs),
+            "--batch_size", "10", "--swap_interval", "5000",
+            "--log_interval", "300", "--seed", "42",
+            "--log_dir", logs, "--image_dir", imgs, "--weights_dir", weights,
+            "--checkpoint_dir", f"/tmp/scale_ckpt_w{n}",
+        ], out / "summary.json")
+        # lean inventory: reference commits logs only at these scales
+        for p in sorted(Path(logs).glob("mdgan.*.worker.*.logs.csv")):
+            if not p.name.endswith(".worker.1.logs.csv"):
+                p.unlink()
+        shutil.rmtree(weights)
+        grids = sorted(Path(imgs).glob("generated_epoch_*.png"),
+                       key=lambda p: int(p.stem.rsplit("_", 1)[1]))
+        keep = {grids[0], grids[len(grids) // 2], grids[-1]} if grids else set()
+        for p in grids:
+            if p not in keep:
+                p.unlink()
+        print(f"== scale w{n} r{epochs} recorded (lean)", flush=True)
+
+
 def record_straggler_sweep(root: Path) -> None:
     """Straggler-policy convergence sweep (REPORT.md §5.1): seeded
     2000-round runs at drop rates 0 (control), 0.3, 0.6, 0.9 ->
@@ -255,6 +288,8 @@ def main() -> None:
         record_bench_families(root)
     if "straggler" in steps:
         record_straggler_sweep(root)
+    if "scale" in steps:
+        record_scale_runs(root)
 
 
 if __name__ == "__main__":

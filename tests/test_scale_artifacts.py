@@ -1,0 +1,53 @@
+"""Pins over the committed reference-scale runs (``artifacts/scale/``).
+
+The reference commits FULL 20-worker (10k-round) and 40-worker (5k-round)
+CIFAR-10 logs as ground truth (``src/results/logs/mdgan.{20,40}.CIFAR10.*``);
+these are the analogous seeded real-TPU recordings (lean inventory: the
+reference itself commits no weights at these scales).  Recorded by
+``scripts/record_artifacts.py --steps scale``.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mdgan_tpu.obs import spans as spans_lib
+
+SCALE = Path(__file__).resolve().parent.parent / "artifacts" / "scale"
+
+pytestmark = pytest.mark.skipif(
+    not SCALE.exists(), reason="scale artifacts not recorded")
+
+
+@pytest.mark.parametrize("n,epochs,n_swaps", [(20, 10000, 1), (40, 5000, 0)])
+def test_scale_run(n, epochs, n_swaps):
+    out = SCALE / f"cifar10_w{n}_r{epochs}"
+    if not out.exists():
+        pytest.skip(f"w{n} run not recorded")
+
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["rounds"] == epochs
+    assert np.isfinite(summary["final_mean_d_loss"])
+
+    rows = spans_lib.read_spans(out / "logs" / f"mdgan.{n}.CIFAR10.server.logs.csv")
+    # one row per chunk + the round-0 eval row; chunks clip at eval/swap
+    # boundaries so the count floor is epochs/chunk_size
+    assert len(rows) >= epochs // 100
+    assert rows[-1]["epoch"] == epochs - 1
+    swaps = [r for r in rows if r.get("swap") in (True, "True", 1.0)]
+    assert len(swaps) == n_swaps
+    fids = [r["fid"] for r in rows if isinstance(r.get("fid"), float)]
+    # eval cadence 300 plus the final round
+    assert len(fids) == epochs // 300 + 2  # rounds 0, 300, ..., and epochs-1
+    assert all(np.isfinite(f) for f in fids)
+
+    wrows = spans_lib.read_spans(out / "logs" / f"mdgan.{n}.CIFAR10.worker.1.logs.csv")
+    assert len(wrows) == epochs
+    losses = [r["mean_d_loss"] for r in wrows]
+    assert all(isinstance(v, float) and np.isfinite(v) for v in losses)
+
+    grids = list((out / "images").glob("generated_epoch_*.png"))
+    assert len(grids) >= 3
+    assert not list((out / "weights").rglob("*.npz"))  # lean: logs only
