@@ -217,6 +217,47 @@ def plot_timeline(paths: List[Path], out_path: Path, max_rows: int = 10) -> bool
 HOST_COLUMNS = ("time", "cpu_percent", "mem_used_mb")
 
 
+def plot_compare(paths: List[Path], out_dir: Path) -> bool:
+    """Cross-run overlay figures: FID / IS / D-loss / n_feedbacks curves from
+    several runs on shared axes, labeled by file stem — the reference
+    report's cross-run figure family (its ``results.tex`` compares
+    ``CIFAR10.standalone`` vs ``.4`` vs ``.10`` FID/IS curves produced by
+    ``plot_logs.ipynb`` over multiple runs' CSVs)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    wrote = False
+    for metric in ("fid", "is", "fid_standard", "is_standard",
+                   "mean_d_loss", "n_feedbacks"):
+        runs = []
+        for p in paths:
+            rows = spans_lib.read_spans(p)
+            pts = [(r["epoch"], r[metric]) for r in rows
+                   if isinstance(r.get(metric), float)
+                   and isinstance(r.get("epoch"), float)]
+            if pts:
+                runs.append((p.stem.replace(".logs", ""), pts))
+        if len(runs) < 2:
+            continue  # an overlay of one curve is just plot_file's figure
+        fig, ax = plt.subplots(figsize=(8, 4))
+        for stem, pts in runs:
+            ax.plot([e for e, _ in pts], [v for _, v in pts],
+                    marker="o" if len(pts) < 200 else None,
+                    markersize=3, label=stem)
+        ax.set_xlabel("round")
+        ax.set_ylabel(metric)
+        ax.set_title(f"{metric}: {len(runs)} runs")
+        ax.legend(fontsize=8)
+        fig.tight_layout()
+        fig.savefig(out_dir / f"compare.{metric}.png", dpi=120)
+        plt.close(fig)
+        wrote = True
+    return wrote
+
+
 def is_host_csv(path: Path) -> bool:
     """A ``--host_metrics`` CSV (obs/hostmon.py), not a span CSV."""
     with open(path, encoding="utf-8") as f:
@@ -293,6 +334,10 @@ def main(argv=None) -> int:
     p.add_argument("--timeline_rounds", type=int, default=10,
                    help="rows per actor in the op-timeline Gantt "
                         "(reference timeline_10/timeline_1 figures)")
+    p.add_argument("--compare", action="store_true",
+                   help="with --plot and 2+ span CSVs: overlay their FID/IS/"
+                        "loss curves on shared axes (the reference report's "
+                        "cross-run standalone-vs-N-workers figures)")
     args = p.parse_args(argv)
 
     span_csvs, host_csvs = [], []
@@ -308,6 +353,8 @@ def main(argv=None) -> int:
         if span_csvs:
             plot_timeline(span_csvs, Path(args.plot) / "timeline.png",
                           max_rows=args.timeline_rounds)
+        if args.compare and len(span_csvs) >= 2:
+            plot_compare(span_csvs, Path(args.plot))
     if args.json:
         print(json.dumps(reports, indent=2))
         return 0

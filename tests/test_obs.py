@@ -195,6 +195,37 @@ def test_plot_figures_from_repo_and_reference_csvs(tmp_path):
     assert (out2 / "timeline.png").exists()
 
 
+def test_analyze_compare_overlays_runs(tmp_path):
+    """--compare overlays the FID/loss curves of several runs in one figure
+    per metric (the reference report's standalone-vs-N-workers comparison
+    figures, produced by plot_logs.ipynb across runs' CSVs)."""
+    from mdgan_tpu.cli import analyze
+
+    paths = []
+    for tag, base_fid in (("mdgan.2.Synth.server", 100.0),
+                          ("mdgan.8.Synth.server", 120.0)):
+        path = tmp_path / f"{tag}.logs.csv"
+        logger = spans_lib.SpanLogger(
+            path, spans_lib.server_row_template(0, 0.2, 0.1))
+        for e in range(3):
+            logger.begin_row(spans_lib.server_row_template(e, 0.2, 0.1))
+            logger.mark(fid=base_fid - e, **{"is": 2.0 + e})
+            logger.end_row()
+        logger.close()
+        paths.append(str(path))
+
+    out = tmp_path / "plots"
+    assert analyze.main(paths + ["--plot", str(out), "--compare"]) == 0
+    assert (out / "compare.fid.png").exists()
+    assert (out / "compare.is.png").exists()
+    # metrics absent from every run produce no figure
+    assert not (out / "compare.n_feedbacks.png").exists()
+    # a single-run compare is a no-op (plot_file already covers one curve)
+    out1 = tmp_path / "plots1"
+    assert analyze.main([paths[0], "--plot", str(out1), "--compare"]) == 0
+    assert not (out1 / "compare.fid.png").exists()
+
+
 def test_analyze_host_metrics_csv(tmp_path):
     """analyze must recognize hostmon CSVs (gce_stats.ipynb analogue): summary
     stats + cpu/mem/net-rate figure, alongside span CSVs untouched."""
