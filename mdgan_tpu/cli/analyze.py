@@ -229,17 +229,29 @@ def plot_compare(paths: List[Path], out_dir: Path) -> bool:
     import matplotlib.pyplot as plt
 
     out_dir.mkdir(parents=True, exist_ok=True)
+    parsed = [(p, spans_lib.read_spans(p)) for p in paths]  # parse each ONCE
+    # legend labels: runs usually share a filename (runA/server.logs.csv vs
+    # runB/server.logs.csv — and the parent dir alone can collide too, e.g.
+    # runA/logs/), so take the shortest trailing path suffix that makes
+    # every label unique
+    k = 1
+    while True:
+        labels = ["/".join(p.parts[-k:]).replace(".logs.csv", "")
+                  for p, _ in parsed]
+        if (len(set(labels)) == len(labels)
+                or k >= max(len(p.parts) for p, _ in parsed)):
+            break
+        k += 1
     wrote = False
     for metric in ("fid", "is", "fid_standard", "is_standard",
                    "mean_d_loss", "n_feedbacks"):
         runs = []
-        for p in paths:
-            rows = spans_lib.read_spans(p)
+        for label, (_, rows) in zip(labels, parsed):
             pts = [(r["epoch"], r[metric]) for r in rows
                    if isinstance(r.get(metric), float)
                    and isinstance(r.get("epoch"), float)]
             if pts:
-                runs.append((p.stem.replace(".logs", ""), pts))
+                runs.append((label, pts))
         if len(runs) < 2:
             continue  # an overlay of one curve is just plot_file's figure
         fig, ax = plt.subplots(figsize=(8, 4))

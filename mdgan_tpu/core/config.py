@@ -152,6 +152,8 @@ class TrainConfig:
     # "at least one feedback received" contract.  0.0 disables the code path
     # entirely (the compiled program is the parity program).
     straggler_rate: float = 0.0
+
+    # --- evaluation ---
     n_samples: int = 5          # reference 5-sample FID (``server.py:82``)
     eval_n_samples: int = 0     # standard-protocol FID sample count (0 = off)
     # Run FID/IS + grid/weights IO on a background thread from a host snapshot

@@ -13,7 +13,7 @@ wedges the tunneled TPU runtime — see .claude/skills/verify/SKILL.md):
 
 Usage:
   PYTHONPATH=/root/.axon_site:/root/repo python scripts/record_artifacts.py \
-      [--steps golden,standalone,headline,bench,families,straggler] \
+      [--steps golden,standalone,headline,bench,families,straggler,scale] \
       [--repo /root/repo]
 
 Weights pruning (per-eval generator exports) is done afterwards by
@@ -187,13 +187,15 @@ def record_straggler_sweep(root: Path) -> None:
     out = root / "artifacts" / "bench"
     out.mkdir(parents=True, exist_ok=True)
     sweep = {}
+    n_workers = 8
     for rate in ("0", "0.3", "0.6", "0.9"):
         scratch = Path(f"/tmp/straggler_{rate}")
         logs, imgs, weights = (_fresh(scratch / "logs"), _fresh(scratch / "imgs"),
                                _fresh(scratch / "weights"))
         t0 = time.time()
         run_train([
-            "--mode", "mdgan", "--dataset", "CIFAR10", "--num_workers", "8",
+            "--mode", "mdgan", "--dataset", "CIFAR10",
+            "--num_workers", str(n_workers),
             "--epochs", "2000", "--batch_size", "10", "--swap_interval", "500",
             "--log_interval", "500", "--seed", "11", "--checkpoint_interval", "0",
             "--straggler_rate", rate,
@@ -203,7 +205,7 @@ def record_straggler_sweep(root: Path) -> None:
         wall = time.time() - t0
         summary = json.loads((scratch / "summary.json").read_text())
         rows = spans_lib.read_spans(
-            Path(logs) / "mdgan.8.CIFAR10.server.logs.csv")
+            Path(logs) / f"mdgan.{n_workers}.CIFAR10.server.logs.csv")
         nfb = [r["n_feedbacks"] for r in rows
                if isinstance(r.get("n_feedbacks"), float)]
         fids = [r["fid"] for r in rows if isinstance(r.get("fid"), float)]
@@ -211,7 +213,10 @@ def record_straggler_sweep(root: Path) -> None:
             final_mean_d_loss=summary["final_mean_d_loss"],
             wall_s=round(wall, 2),
             rounds_per_sec=round(2000 / wall, 1),
-            n_feedbacks_mean=round(float(np.mean(nfb)), 2) if nfb else 8.0,
+            # the rate-0 control has no n_feedbacks column (opt-in schema):
+            # every feedback is accepted, |S| == N by construction
+            n_feedbacks_mean=(round(float(np.mean(nfb)), 2) if nfb
+                              else float(n_workers)),
             best_fid=round(min(fids), 2) if fids else None,
             final_fid=round(fids[-1], 2) if fids else None,
         )

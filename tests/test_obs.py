@@ -225,6 +225,21 @@ def test_analyze_compare_overlays_runs(tmp_path):
     assert analyze.main([paths[0], "--plot", str(out1), "--compare"]) == 0
     assert not (out1 / "compare.fid.png").exists()
 
+    # identically-named CSVs in different run dirs (the common layout) must
+    # get unique legend labels (shortest distinguishing path suffix)
+    import shutil
+
+    for run in ("runA", "runB"):
+        (tmp_path / run / "logs").mkdir(parents=True)
+        shutil.copy(paths[0], tmp_path / run / "logs" / "server.logs.csv")
+    from pathlib import Path as _P
+
+    out2 = tmp_path / "plots2"
+    assert analyze.plot_compare(
+        [tmp_path / "runA" / "logs" / "server.logs.csv",
+         tmp_path / "runB" / "logs" / "server.logs.csv"], _P(out2))
+    assert (out2 / "compare.fid.png").exists()
+
 
 def test_analyze_host_metrics_csv(tmp_path):
     """analyze must recognize hostmon CSVs (gce_stats.ipynb analogue): summary
