@@ -100,3 +100,27 @@ def test_retention(tmp_path):
     st_r, _, _, step = mgr.restore(st)
     assert step == 4
     mgr.close()
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    """enable_compilation_cache honors the env override, creates the dir,
+    and points jax's persistent cache at it (utils/compilation_cache.py —
+    called by every CLI entry; REPORT notes warm starts depend on it)."""
+    import jax
+
+    from mdgan_tpu.utils.compilation_cache import enable_compilation_cache
+
+    target = tmp_path / "xla_cache"
+    monkeypatch.setenv("MDGAN_TPU_COMPILE_CACHE", str(target))
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        got = enable_compilation_cache()
+        assert got == str(target)
+        assert target.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(target)
+        # explicit argument wins over the env var
+        target2 = tmp_path / "xla_cache2"
+        assert enable_compilation_cache(str(target2)) == str(target2)
+        assert target2.is_dir()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
