@@ -204,6 +204,104 @@ def test_mesh_sharded_matches_single_device_with_straggler(eight_devices):
 
 
 @pytest.mark.slow
+def test_masked_vjp_equals_direct_grad():
+    """Straggler twin of the chain-rule identity the design rests on
+    (``test_feedback_vjp_equals_direct_grad``): the engine's G update under
+    an accept mask S must equal direct autodiff of
+
+        (1/(b*|S|)) * sum_{n in S} mean_b BCE(D_n_updated(G(z)[n%k]), 1)
+
+    — an independent fused-loss formulation with no feedback tensors, no
+    scatter-add, and no masking of cotangents."""
+    import optax
+
+    from mdgan_tpu.engine import state as state_lib
+    from mdgan_tpu.ops import losses
+
+    n, rate = 4, 0.6
+    # pick the first seed whose round-0 mask actually drops someone (the
+    # mask is a pure PRNG function, so this probe costs nothing)
+    for seed in range(20):
+        u0 = jax.random.uniform(
+            prng.for_step(prng.root_key(seed), prng.STRAGGLER, jnp.int32(0)),
+            (n,))
+        m0 = (u0 <= 1.0 - rate) | (u0 == jnp.min(u0))
+        if 1 <= int(jnp.sum(m0)) < n:
+            break
+    spec = get_spec("SyntheticMNIST")
+    cfg = small_cfg(straggler_rate=rate, chunk_size=1)
+    eng = MDGANEngine(spec, cfg, num_workers=n)
+    data, _ = spec.load("data", max_examples=64)
+    shards_np, _ = shard_data(data, n, iid=True, seed=0)
+    shards = jnp.asarray(shards_np)
+    b, k = cfg.batch_size, eng.k
+    st = eng.init_state(seed=seed)
+    sampler = ShardSampler(n, shards.shape[1], b, seed=0)
+    idx_chunk = sampler.next_chunk(1)
+    idx = jnp.asarray(idx_chunk[0])
+
+    # --- engine step under the mask ---
+    st_eng, m_eng = eng.chunk_fn(1)(st, shards, jnp.asarray(idx_chunk))
+
+    # --- the mask, from the documented derivation ---
+    step_no = jnp.int32(0)
+    u = jax.random.uniform(
+        prng.for_step(st.key, prng.STRAGGLER, step_no), (n,))
+    mask = (u <= 1.0 - rate) | (u == jnp.min(u))
+    n_s = int(jnp.sum(mask))
+    assert 1 <= n_s < n, "pick a seed where at least one drop occurs"
+    assert n_s == int(np.asarray(m_eng["n_feedbacks"])[0])
+
+    # --- independent reimplementation ---
+    kz = prng.for_step(st.key, prng.LATENT, step_no)
+    kdrop = prng.for_step(st.key, prng.DROPOUT, step_no)
+    z = jax.random.normal(kz, (k * b, spec.z_dim), jnp.float32)
+    w_idx = jnp.arange(n)
+
+    x_all, _ = state_lib.apply_train(eng.g_model, st.g.params, st.g.stats, z)
+    x_d = jax.lax.stop_gradient(
+        x_all.reshape(k, b, *spec.shape)[(w_idx + 1) % k])
+    real = losses.normalize_uint8(jax.vmap(lambda s, i: s[i])(shards, idx))
+
+    def d_loss_fn(params, stats, real_n, fake_n, rng):
+        r1, r2 = jax.random.split(rng)
+        lr_, s1 = state_lib.apply_train(eng.d_model, params, stats, real_n, r1)
+        lf_, s2 = state_lib.apply_train(eng.d_model, params, s1, fake_n, r2)
+        return losses.d_loss(lr_, lf_), s2
+
+    rng_l = jax.random.fold_in(kdrop, 0)
+    rngs = jax.vmap(lambda ww: jax.random.fold_in(rng_l, ww))(w_idx)
+    (_, d_stats), d_grads = jax.vmap(
+        jax.value_and_grad(d_loss_fn, has_aux=True), in_axes=(0, 0, 0, 0, 0)
+    )(st.d.params, st.d.stats, real, x_d, rngs)
+    d_updates, _ = eng.d_tx.update(d_grads, st.d.opt, st.d.params)
+    d_params = optax.apply_updates(st.d.params, d_updates)
+
+    rng_fb = jax.random.fold_in(kdrop, cfg.local_epochs)
+    rngs_fb = jax.vmap(lambda ww: jax.random.fold_in(rng_fb, ww))(w_idx)
+
+    def fused_g_loss(g_params):
+        x_all2, _ = state_lib.apply_train(eng.g_model, g_params, st.g.stats, z)
+        x_g = x_all2.reshape(k, b, *spec.shape)[w_idx % k]
+
+        def per_worker(dp, ds, xg, rng):
+            logits, _ = state_lib.apply_train(eng.d_model, dp, ds, xg, rng)
+            return losses.g_loss(logits)
+
+        per = jax.vmap(per_worker)(d_params, d_stats, x_g, rngs_fb)
+        return jnp.sum(jnp.where(mask, per, 0.0)) / (b * n_s)
+
+    g_grad = jax.grad(fused_g_loss)(st.g.params)
+    g_updates, _ = eng.g_tx.update(g_grad, st.g.opt, st.g.params)
+    g_params_expected = optax.apply_updates(st.g.params, g_updates)
+
+    for la, lb in zip(jax.tree_util.tree_leaves(st_eng.g.params),
+                      jax.tree_util.tree_leaves(g_params_expected)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-4, atol=5e-6)
+
+
+@pytest.mark.slow
 def test_trainer_resume_preserves_drop_pattern(tmp_path):
     """Checkpoint/resume under --straggler_rate: the mask folds the GLOBAL
     step, so a resumed run must replay the same drop pattern and land on
