@@ -2,13 +2,35 @@
 
 The reference computes FID/IS through torchmetrics' pretrained InceptionV3
 (reference ``src/actors/server.py:20-43``, ``src/standalone_gan.py:32-55``).
-This is a faithful torchvision-layout InceptionV3 (aux-logits-free) producing
-the 2048-d pool features (FID) and class logits (IS).
+This is a faithful InceptionV3 (aux-logits-free) producing the 2048-d pool
+features (FID) and class logits (IS), in two selectable graph variants:
+
+  * ``fid_variant=False`` (default): torchvision's ``inception_v3`` graph —
+    branch avg-pools use ``count_include_pad=True`` (torch's
+    ``F.avg_pool2d`` default), 1000 classes.  **Numerically validated** leaf
+    by leaf against a literal raw-torch rebuild of the torchvision graph in
+    ``tests/test_inception_parity.py`` (same converted weights on both
+    sides, pool features + logits compared on real-shaped inputs, including
+    the resize-to-299 + [-1, 1] preprocessing vs torch's
+    ``interpolate(mode='bilinear', align_corners=False)`` semantics).
+  * ``fid_variant=True``: the FID-Inception graph torchmetrics actually
+    routes through (torch-fidelity / pytorch-fid "inception-v3-compat", a
+    port of the original TF-slim FID network): branch avg-pools use
+    ``count_include_pad=False``, ``Mixed_7c``'s pool branch is a MAX pool,
+    and ``fc`` has 1008 classes.  Also validated in
+    ``tests/test_inception_parity.py``.
+
+The variant is auto-detected from converted weights (a 1008-way ``fc`` ⇒
+FID-compat); absolute FID values differ slightly between the two backbones —
+a well-known cross-implementation delta in the FID literature — so
+:func:`feature_source` reports which one produced the numbers.
 
 Pretrained weights cannot be downloaded in this environment (zero egress), so:
   * if a converted weight file exists (``inception_v3.npz`` with torch
-    state-dict keys, see :func:`load_torch_npz`), it is used and FID numbers
-    are literature-comparable;
+    state-dict keys, see :func:`load_torch_npz` and
+    ``cli/convert_inception.py`` — both torchvision's ImageNet checkpoint
+    and pytorch-fid's ``pt_inception-2015-12-05`` convert), it is used and
+    FID numbers are literature-comparable;
   * otherwise a *deterministic randomly-initialized* network is used.  FID
     over random CNN features is still a valid, widely-studied distributional
     distance (it ranks model quality consistently), but its absolute scale is
@@ -49,13 +71,17 @@ class BasicConv(nn.Module):
         return nn.relu(x)
 
 
-def _avgpool3(x):
+def _avgpool3(x, count_include_pad: bool = True):
+    """3x3/s1/p1 branch avg-pool.  torchvision's graph uses torch's
+    ``F.avg_pool2d`` default ``count_include_pad=True``; the FID-compat
+    graph (torch-fidelity/pytorch-fid) patches it to ``False``."""
     return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
-                       count_include_pad=False)
+                       count_include_pad=count_include_pad)
 
 
 class InceptionA(nn.Module):
     pool_features: int
+    fid_variant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -65,7 +91,8 @@ class InceptionA(nn.Module):
         b3 = BasicConv(64, (1, 1), name="branch3x3dbl_1")(x, train)
         b3 = BasicConv(96, (3, 3), padding=((1, 1), (1, 1)), name="branch3x3dbl_2")(b3, train)
         b3 = BasicConv(96, (3, 3), padding=((1, 1), (1, 1)), name="branch3x3dbl_3")(b3, train)
-        bp = BasicConv(self.pool_features, (1, 1), name="branch_pool")(_avgpool3(x), train)
+        bp = BasicConv(self.pool_features, (1, 1), name="branch_pool")(
+            _avgpool3(x, not self.fid_variant), train)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
@@ -82,6 +109,7 @@ class InceptionB(nn.Module):
 
 class InceptionC(nn.Module):
     c7: int
+    fid_variant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -95,7 +123,8 @@ class InceptionC(nn.Module):
         bd = BasicConv(c7, (1, 7), padding=((0, 0), (3, 3)), name="branch7x7dbl_3")(bd, train)
         bd = BasicConv(c7, (7, 1), padding=((3, 3), (0, 0)), name="branch7x7dbl_4")(bd, train)
         bd = BasicConv(192, (1, 7), padding=((0, 0), (3, 3)), name="branch7x7dbl_5")(bd, train)
-        bp = BasicConv(192, (1, 1), name="branch_pool")(_avgpool3(x), train)
+        bp = BasicConv(192, (1, 1), name="branch_pool")(
+            _avgpool3(x, not self.fid_variant), train)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
@@ -113,6 +142,12 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    # FID-compat quirk: the compat graph's SECOND E block (Mixed_7c,
+    # pytorch-fid's ``FIDInceptionE_2``) uses a MAX pool for the pool branch
+    # where torchvision (and the compat Mixed_7b) use an avg pool.
+    fid_variant: bool = False
+    max_branch_pool: bool = False
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         b1 = BasicConv(320, (1, 1), name="branch1x1")(x, train)
@@ -125,18 +160,30 @@ class InceptionE(nn.Module):
         bda = BasicConv(384, (1, 3), padding=((0, 0), (1, 1)), name="branch3x3dbl_3a")(bd, train)
         bdb = BasicConv(384, (3, 1), padding=((1, 1), (0, 0)), name="branch3x3dbl_3b")(bd, train)
         bd = jnp.concatenate([bda, bdb], axis=-1)
-        bp = BasicConv(192, (1, 1), name="branch_pool")(_avgpool3(x), train)
+        if self.max_branch_pool:
+            pooled = nn.max_pool(x, (3, 3), strides=(1, 1),
+                                 padding=((1, 1), (1, 1)))
+        else:
+            pooled = _avgpool3(x, not self.fid_variant)
+        bp = BasicConv(192, (1, 1), name="branch_pool")(pooled, train)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
 class InceptionV3(nn.Module):
-    """Returns (pool_features[2048], logits[num_classes])."""
+    """Returns (pool_features[2048], logits[num_classes]).
+
+    ``fid_variant`` selects the FID-Inception graph (see module docstring);
+    the module/weight-key layout is identical in both variants, only three
+    pooling semantics and the ``fc`` width differ.
+    """
 
     num_classes: int = 1000
+    fid_variant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # x: (b, 299, 299, 3) in [-1, 1]
+        fid = self.fid_variant
         x = BasicConv(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3")(x, train)
         x = BasicConv(32, (3, 3), name="Conv2d_2a_3x3")(x, train)
         x = BasicConv(64, (3, 3), padding=((1, 1), (1, 1)), name="Conv2d_2b_3x3")(x, train)
@@ -144,17 +191,17 @@ class InceptionV3(nn.Module):
         x = BasicConv(80, (1, 1), name="Conv2d_3b_1x1")(x, train)
         x = BasicConv(192, (3, 3), name="Conv2d_4a_3x3")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = InceptionA(32, name="Mixed_5b")(x, train)
-        x = InceptionA(64, name="Mixed_5c")(x, train)
-        x = InceptionA(64, name="Mixed_5d")(x, train)
+        x = InceptionA(32, fid, name="Mixed_5b")(x, train)
+        x = InceptionA(64, fid, name="Mixed_5c")(x, train)
+        x = InceptionA(64, fid, name="Mixed_5d")(x, train)
         x = InceptionB(name="Mixed_6a")(x, train)
-        x = InceptionC(128, name="Mixed_6b")(x, train)
-        x = InceptionC(160, name="Mixed_6c")(x, train)
-        x = InceptionC(160, name="Mixed_6d")(x, train)
-        x = InceptionC(192, name="Mixed_6e")(x, train)
+        x = InceptionC(128, fid, name="Mixed_6b")(x, train)
+        x = InceptionC(160, fid, name="Mixed_6c")(x, train)
+        x = InceptionC(160, fid, name="Mixed_6d")(x, train)
+        x = InceptionC(192, fid, name="Mixed_6e")(x, train)
         x = InceptionD(name="Mixed_7a")(x, train)
-        x = InceptionE(name="Mixed_7b")(x, train)
-        x = InceptionE(name="Mixed_7c")(x, train)
+        x = InceptionE(fid, name="Mixed_7b")(x, train)
+        x = InceptionE(fid, max_branch_pool=fid, name="Mixed_7c")(x, train)
         feats = jnp.mean(x, axis=(1, 2))  # global average pool -> (b, 2048)
         logits = nn.Dense(self.num_classes, name="fc")(feats)
         return feats, logits
@@ -168,9 +215,29 @@ _CACHED = None
 
 
 def feature_source() -> str:
-    """'pretrained' if converted weights were found, else 'random-init'."""
+    """Which weights/graph produced the features.
+
+    ``'random-init'`` (deterministic random weights, BN-calibrated per
+    tracker), ``'pretrained:torchvision'`` (converted torchvision ImageNet
+    checkpoint on the torchvision graph), or ``'pretrained:fid-compat'``
+    (converted pytorch-fid / torch-fidelity FID weights on the compat
+    graph — the backbone torchmetrics uses, so those FIDs compare directly
+    to the reference's numbers).  Stamped into every run's ``summary.json``
+    so committed artifacts record which mode produced their FID columns.
+    """
     get_inception()
     return _CACHED[2]
+
+
+def feature_source_if_loaded() -> Optional[str]:
+    """:func:`feature_source` without forcing network construction.
+
+    Returns ``None`` when no FID/IS computation has touched the inception
+    net in this process (e.g. a run with evals disabled) — used by the
+    trainers to stamp ``summary.json`` truthfully without paying an
+    InceptionV3 init on eval-free runs.
+    """
+    return None if _CACHED is None else _CACHED[2]
 
 
 def load_torch_npz(path: Path, variables) -> dict:
@@ -220,25 +287,36 @@ def load_torch_npz(path: Path, variables) -> dict:
 
 
 def get_inception(weights_path: Optional[str] = None):
-    """(model, variables, source). Cached after first call."""
+    """(model, variables, source). Cached after first call.
+
+    The graph variant is auto-detected from the converted weights: a
+    1008-way ``fc`` is the TF-slim class count ⇒ the FID-compat graph
+    (pytorch-fid's ``pt_inception-2015-12-05`` weights); a 1000-way ``fc``
+    ⇒ torchvision's graph (its ImageNet checkpoint).  Without weights the
+    torchvision graph with deterministic random init is used.
+    """
     global _CACHED
     if _CACHED is not None and weights_path is None:
         return _CACHED[0], _CACHED[1], _CACHED[2]
-    model = InceptionV3()
-    variables = model.init(jax.random.key(42), jnp.zeros((1, 299, 299, 3)))
-    source = "random-init"
     candidates = [weights_path] if weights_path else []
     candidates += ["data/inception_v3.npz", "inception_v3.npz"]
-    for cand in candidates:
-        if cand and Path(cand).exists():
-            variables = load_torch_npz(Path(cand), variables)
-            # the loader yields host numpy arrays; put them on device ONCE —
-            # the jitted extractor takes variables as an argument, so host
-            # leaves would otherwise re-upload the full ~90 MB pytree on
-            # every batch call
-            variables = jax.tree.map(jnp.asarray, variables)
-            source = "pretrained"
-            break
+    found = next((Path(c) for c in candidates if c and Path(c).exists()), None)
+    if found is not None:
+        n_classes = int(np.load(found)["fc.bias"].shape[0])
+        fid_variant = n_classes == 1008
+        model = InceptionV3(num_classes=n_classes, fid_variant=fid_variant)
+        variables = model.init(jax.random.key(42), jnp.zeros((1, 299, 299, 3)))
+        variables = load_torch_npz(found, variables)
+        # the loader yields host numpy arrays; put them on device ONCE —
+        # the jitted extractor takes variables as an argument, so host
+        # leaves would otherwise re-upload the full ~90 MB pytree on
+        # every batch call
+        variables = jax.tree.map(jnp.asarray, variables)
+        source = "pretrained:fid-compat" if fid_variant else "pretrained:torchvision"
+    else:
+        model = InceptionV3()
+        variables = model.init(jax.random.key(42), jnp.zeros((1, 299, 299, 3)))
+        source = "random-init"
     _CACHED = (model, variables, source)
     _RUN_CACHE.clear()  # drop any jitted extractor closed over an old model
     _CALIB_CACHE.clear()  # calibrations derive from the old base weights

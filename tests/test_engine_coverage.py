@@ -116,7 +116,7 @@ def test_inception_torch_conversion_roundtrip(tmp_path):
     assert convert(str(pth), str(out)) == 0
     inception._CACHED = None
     _, loaded, source = inception.get_inception(str(out))
-    assert source == "pretrained"
+    assert source == "pretrained:torchvision"  # 1000-way fc ⇒ torchvision graph
     # conv weights round-tripped through the OIHW->HWIO transpose
     got = flax.traverse_util.flatten_dict(loaded["params"], sep=".")[
         "Conv2d_1a_3x3.conv.kernel"]

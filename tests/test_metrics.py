@@ -94,7 +94,8 @@ def test_inception_network_runs():
     assert feats.shape == (4, 2048)
     assert probs.shape == (4, 1000)
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-4)
-    assert feature_source() in ("pretrained", "random-init")
+    assert feature_source() in ("pretrained:torchvision",
+                                "pretrained:fid-compat", "random-init")
     # grayscale path (channel repeat, server.py:137-138)
     g = rng.uniform(0, 1, (2, 28, 28, 1)).astype(np.float32)
     feats_g, _ = inception_features(g, batch=2)
