@@ -11,6 +11,16 @@ network phases in the reference (``send_data``, ``recv_data``) are fused into
 the jitted step here, so the trainer logs them as zero-width spans and records
 the real on-device work under ``epoch_calculation``.  For on-device breakdowns
 use ``jax.profiler`` traces (obs/profiling hook in the CLI).
+
+Worker swap ops (``swap_recv_instruction`` / ``swap_send`` / ``swap_recv`` /
+``load_state_dict``, measured per phase by the reference at
+``worker.py:239-284``): here the swap is ONE fused device program, so on swap
+rounds the trainer attributes the measured program span to both
+``swap_send`` and ``swap_recv`` (the exchange is simultaneous) and logs
+``swap_recv_instruction`` / ``load_state_dict`` as zero-width marks at the
+window edges — those two phases have no physical counterpart in an SPMD
+swap (see ``MDGANTrainer._write_rows_for_chunk``).  A worker-CSV Gantt thus
+shows the real swap cost on the rows that paid it.
 """
 
 from __future__ import annotations
