@@ -19,6 +19,12 @@ is the most conservative comparison available, taken at a HIGHER worker count
 ``python bench.py --config all`` additionally times the other BASELINE.json
 configs (MNIST 4-worker, CelebA-64 16-worker, FFHQ-128 StyleGAN2 8-worker,
 standalone MNIST), one JSON line each.
+
+Every row also carries utilization accounting from the compiled chunk
+program's own cost model (``flops_per_round`` / ``bytes_per_round``, and on
+known TPUs the derived ``mfu`` / ``hbm_util`` against the chip's public bf16
+and HBM peaks) so the REPORT.md §2 roofline claims are auditable from the
+committed artifacts.
 """
 
 from __future__ import annotations
@@ -37,12 +43,57 @@ CONFIGS = {
     "ffhq128_stylegan": ("FFHQ128", 8, 4, 20, 3, 4000),
 }
 
+# (device_kind substring -> bf16 peak FLOP/s, HBM bytes/s), public per-chip
+# figures (jax-ml.github.io/scaling-book roofline numbers), for the MFU /
+# HBM-utilization fields (VERDICT r3: make the REPORT §2 roofline auditable
+# from committed bench artifacts). Order matters: first substring match wins.
+DEVICE_PEAKS = [
+    ("v6 lite", 918e12, 1640e9),   # v6e (Trillium)
+    ("v5 lite", 197e12, 819e9),    # v5e
+    ("v5p", 459e12, 2765e9),
+    ("v4", 275e12, 1228e9),
+    ("v3", 123e12, 900e9),
+    ("v2", 46e12, 700e9),
+]
 
-def bench_mdgan(name: str) -> dict:
+
+def _utilization_fields(compiled, rounds: int, steps_per_sec: float) -> dict:
+    """flops/bytes per round from the compiled executable's own cost model
+    (``jax.stages.Compiled.cost_analysis``), plus derived MFU and
+    HBM-bandwidth utilization against the chip's public bf16/HBM peaks.
+
+    ``flops`` is XLA's algorithmic count for the whole chunk program;
+    ``bytes accessed`` is its post-fusion analytical operand+output traffic
+    estimate (an upper-ish bound on true HBM traffic — fusion-internal
+    reuse is already excluded, on-chip cache hits are not).  Fields are
+    omitted (with a marker) when the backend exposes no cost model, so the
+    bench JSON line still emits on exotic platforms."""
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):  # pre-0.5 jax returned [dict]
+            ca = ca[0]
+        flops, nbytes = float(ca["flops"]), float(ca["bytes accessed"])
+    except Exception as e:  # backend without a cost model
+        return {"cost_analysis_error": type(e).__name__}
+    out = {
+        "flops_per_round": round(flops / rounds, 1),
+        "bytes_per_round": round(nbytes / rounds, 1),
+    }
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peak_f, peak_b in DEVICE_PEAKS:
+        if sub in kind:
+            out["mfu"] = round(flops / rounds * steps_per_sec / peak_f, 5)
+            out["hbm_util"] = round(nbytes / rounds * steps_per_sec / peak_b, 4)
+            out["peak_flops_per_sec"] = peak_f
+            out["peak_hbm_bytes_per_sec"] = peak_b
+            break
+    return out
+
+
+def _setup_mdgan(name: str):
+    """(engine, state, device shards, sampler) for a named kernel config."""
     from mdgan_tpu.core.config import TrainConfig
     from mdgan_tpu.core.registry import get as get_spec
     from mdgan_tpu.data.partitioner import shard_data
@@ -59,16 +110,42 @@ def bench_mdgan(name: str) -> dict:
     spec = get_spec(dataset)  # falls back to synthetic pixels; compute identical
     data, _ = spec.load("data", max_examples=max_ex)
     shards_np, _ = shard_data(data, n_workers, iid=True, seed=0)
-
     eng = MDGANEngine(spec, cfg, num_workers=n_workers)
     st = eng.init_state(seed=1)
     shards = eng.shard_data(shards_np)
     sampler = ShardSampler(n_workers, shards_np.shape[1], batch, seed=0)
-    run = eng.chunk_fn(chunk)
+    return eng, st, shards, sampler
 
-    # Pre-generate sample indices so host-side sampling stays out of the
-    # timed region (in production it overlaps with device compute).
+
+def kernel_cost_fields(name: str, steps_per_sec: float) -> dict:
+    """Utilization fields for the named config's chunk program at a given
+    achieved rate.  Used by the sustained bench: the trainer loop dispatches
+    the SAME compiled chunk program as the kernel bench (identical config,
+    chunk length, unroll), so its per-round flops/bytes are the program's —
+    only host overheads differ, and those are wall time, not FLOPs.  Cheap
+    when the kernel bench already compiled the program in this process (the
+    persistent compilation cache serves the lowering)."""
+    import jax.numpy as jnp
+
+    eng, st, shards, sampler = _setup_mdgan(name)
+    chunk = CONFIGS[name][3]
+    idx = jnp.asarray(sampler.next_chunk(chunk))
+    compiled = eng.chunk_fn(chunk).lower(st, shards, idx).compile()
+    return _utilization_fields(compiled, chunk, steps_per_sec)
+
+
+def bench_mdgan(name: str) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    dataset, n_workers, batch, chunk, n_chunks, max_ex = CONFIGS[name]
+    eng, st, shards, sampler = _setup_mdgan(name)
+    # AOT path: one explicit lower+compile gives both the callable used for
+    # timing AND the executable's cost model (flops / bytes accessed) for
+    # the utilization fields — no second compilation of the same program.
     idxs = [jnp.asarray(sampler.next_chunk(chunk)) for _ in range(n_chunks + 1)]
+    run = eng.chunk_fn(chunk).lower(st, shards, idxs[0]).compile()
 
     # warmup / compile.  NB: sync via device_get of an output, not
     # block_until_ready — the tunneled TPU platform here resolves
@@ -97,6 +174,7 @@ def bench_mdgan(name: str) -> dict:
         "steps_timed": steps,
         "wall_s": round(dt, 3),
     }
+    out.update(_utilization_fields(run, chunk, steps_per_sec))
     if name == "headline":
         out.update({
             "metric": "mdgan_cifar10_8worker_steps_per_sec",
@@ -126,8 +204,8 @@ def bench_standalone() -> dict:
     st = eng.init_state(seed=1)
     arr = jnp.asarray(data)
     sampler = ShardSampler(1, len(data), batch, seed=0)
-    run = eng.chunk_fn(chunk)
     idxs = [jnp.asarray(sampler.next_chunk(chunk)[:, 0, :]) for _ in range(n_chunks + 1)]
+    run = eng.chunk_fn(chunk).lower(st, arr, idxs[0]).compile()
     st, metrics = run(st, arr, idxs[0])
     np.asarray(metrics["mean_d_loss"])
     t0 = time.perf_counter()
@@ -135,7 +213,7 @@ def bench_standalone() -> dict:
         st, metrics = run(st, arr, idxs[i])
     np.asarray(metrics["mean_d_loss"])
     dt = time.perf_counter() - t0
-    return {
+    out = {
         "metric": "standalone_mnist_steps_per_sec",
         "value": round(n_chunks * chunk / dt, 2),
         "unit": "rounds/s",
@@ -143,6 +221,8 @@ def bench_standalone() -> dict:
         "device": str(jax.devices()[0]),
         "wall_s": round(dt, 3),
     }
+    out.update(_utilization_fields(run, chunk, n_chunks * chunk / dt))
+    return out
 
 
 def bench_sustained(rounds: int = 30000) -> dict:
@@ -202,7 +282,7 @@ def bench_sustained(rounds: int = 30000) -> dict:
     assert summary["rounds"] == rounds
     assert np.isfinite(summary["final_mean_d_loss"])
     sps = summary["steps_per_sec"]
-    return {
+    out = {
         "metric": "mdgan_cifar10_8worker_sustained_steps_per_sec",
         "value": round(sps, 2),
         "unit": "rounds/s",
@@ -218,6 +298,11 @@ def bench_sustained(rounds: int = 30000) -> dict:
         "baseline_steps_per_sec": REFERENCE_STEPS_PER_SEC,
         "baseline_source": "reference 2-worker local run, median 0.131 s/round (BASELINE.md)",
     }
+    # utilization at the SUSTAINED rate: same chunk program as the kernel
+    # bench, so mfu/hbm_util here quantify what the host loop leaves on the
+    # table relative to the kernel row's numbers
+    out.update(kernel_cost_fields("headline", sps))
+    return out
 
 
 def bench_scaling() -> list:

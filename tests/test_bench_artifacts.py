@@ -90,6 +90,28 @@ def test_straggler_sweep_artifact():
             > sweep["0.9"]["n_feedbacks_mean"])
 
 
+def test_bench_kernel_emits_utilization_fields():
+    """Live check (CPU): bench rows must carry the cost-model utilization
+    fields (flops/bytes per round; mfu/hbm_util additionally on known TPUs)
+    so recorded artifacts make the REPORT §2 roofline auditable."""
+    import bench
+
+    bench.CONFIGS["_tiny"] = ("SyntheticMNIST", 2, 2, 5, 2, 64)
+    try:
+        row = bench.bench_mdgan("_tiny")
+    finally:
+        bench.CONFIGS.pop("_tiny", None)
+    assert row["value"] > 0
+    assert row["flops_per_round"] > 0
+    assert row["bytes_per_round"] > 0
+    # CPU backend here: no DEVICE_PEAKS entry matches, so no mfu/hbm_util;
+    # on TPU the recorder's committed rows carry them (pinned below once
+    # r04 artifacts land)
+    kind_known = any(s in __import__("jax").devices()[0].device_kind.lower()
+                     for s, _, _ in bench.DEVICE_PEAKS)
+    assert ("mfu" in row) == kind_known
+
+
 def test_family_benches_cover_every_model_family():
     rows = _lines("BENCH_families_r03.json")
     metrics = {r["metric"] for r in rows}
