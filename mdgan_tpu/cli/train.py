@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_samples", type=int, default=5)
     p.add_argument("--eval_n_samples", type=int, default=0,
                    help="standard-protocol FID/IS sample count (0 = off)")
+    p.add_argument("--eval_standard_interval", type=int, default=1,
+                   help="run the standard-protocol eval on every K-th eval "
+                        "event only (plus the final round); the 5-sample "
+                        "reference logging stays on every eval round")
     p.add_argument("--data_dir", type=str, default="data")
     p.add_argument("--download", action="store_true",
                    help="fetch the dataset's raw files (checksum-verified) "
@@ -128,6 +132,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         straggler_rate=args.straggler_rate,
         n_samples=args.n_samples,
         eval_n_samples=args.eval_n_samples,
+        eval_standard_interval=args.eval_standard_interval,
         async_eval=not args.sync_eval,
         log_dir=args.log_dir,
         image_dir=args.image_dir,

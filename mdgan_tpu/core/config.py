@@ -156,6 +156,13 @@ class TrainConfig:
     # --- evaluation ---
     n_samples: int = 5          # reference 5-sample FID (``server.py:82``)
     eval_n_samples: int = 0     # standard-protocol FID sample count (0 = off)
+    # Standard-protocol cadence: run the (expensive, eval_n_samples-sized)
+    # standard eval on every K-th eval event only — the 5-sample reference
+    # logging stays on every eval round.  The final round always gets a
+    # standard eval so every run ends with a literature-comparable number.
+    # K=1 (default) keeps the round-3 behavior: standard eval on every
+    # eval round.
+    eval_standard_interval: int = 1
     # Run FID/IS + grid/weights IO on a background thread from a host snapshot
     # of the round-e generator (identical eval outputs; latents are keyed by
     # step).  The reference evaluates inline on the server's round loop

@@ -166,6 +166,7 @@ class MDGANTrainer:
         self.ckpt = ckpt_lib.CheckpointManager(Path(tc.checkpoint_dir) / name)
         self._fid_tracker = None
         self._fid_std_tracker = None
+        self._eval_count = 0  # eval events so far (standard-eval cadence)
         self._eval_history: List[Dict] = []
         if tc.resume and self.ckpt.latest_step() is not None:
             self._resume()
@@ -322,7 +323,15 @@ class MDGANTrainer:
         marks.update(fid=fid, **{"is": is_mean})
 
         result = {"epoch": epoch, "fid": fid, "is": is_mean}
-        if tc.eval_n_samples > 0:
+        # standard-protocol cadence: every K-th eval event plus the final
+        # round (eval events execute in submission order on the single eval
+        # thread, so the counter is deterministic)
+        k = max(tc.eval_standard_interval, 1)
+        run_standard = (tc.eval_n_samples > 0
+                        and (self._eval_count % k == 0
+                             or epoch == tc.epochs - 1))
+        self._eval_count += 1
+        if run_standard:
             result.update(self._evaluate_standard(epoch, g))
             marks.update(fid_standard=result["fid_standard"],
                          is_standard=result["is_standard"])

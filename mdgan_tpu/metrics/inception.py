@@ -422,8 +422,15 @@ def inception_features(images: jax.Array, batch: Optional[int] = None,
     (``server.py:137-138``), resize to 299, and the inception [-1, 1] scaling.
     Short batches are zero-padded to the bucket size so only a handful of
     shapes ever compile; tiny inputs (the reference's 5-sample protocol)
-    use an 8-wide bucket instead of 64 (8x less padded compute), larger
-    ones the standard 64.
+    use an 8-wide bucket (8x less padded compute), mid-size ones 64, and
+    standard-protocol-size sets (>=512 images) a 256-wide bucket.
+
+    All batches are DISPATCHED first and fetched with one ``device_get`` at
+    the end: on remote/tunneled runtimes a per-batch fetch costs a full
+    round trip, which serialized a 10k-image standard eval into ~160 round
+    trips; the single batched fetch is one (the same fix as the trainer's
+    batched metrics fetch).  Outputs are small (features + probs, ~125 MB
+    at 10k images), so holding them on device until the fetch is cheap.
 
     ``variables`` selects the weight set (e.g. a tracker's calibrated
     variables from :func:`calibrated_variables`); defaults to the base
@@ -434,15 +441,17 @@ def inception_features(images: jax.Array, batch: Optional[int] = None,
         variables = get_inception()[1]
     n = images.shape[0]
     if batch is None:
-        batch = 8 if n <= 8 else 64
-    fs, ps = [], []
+        batch = 8 if n <= 8 else (256 if n >= 512 else 64)
+    outs, takes = [], []
     for s in range(0, n, batch):
         part = images[s : s + batch]
         take = part.shape[0]
         if take < batch:
             pad = np.zeros((batch - take, *part.shape[1:]), part.dtype)
             part = np.concatenate([np.asarray(part), pad])
-        f, p = run(variables, part)
-        fs.append(np.asarray(f[:take], np.float64))
-        ps.append(np.asarray(p[:take], np.float64))
+        outs.append(run(variables, part))  # async dispatch, no sync here
+        takes.append(take)
+    fetched = jax.device_get(outs)  # ONE device->host transfer
+    fs = [np.asarray(f[:take], np.float64) for (f, _), take in zip(fetched, takes)]
+    ps = [np.asarray(p[:take], np.float64) for (_, p), take in zip(fetched, takes)]
     return np.concatenate(fs), np.concatenate(ps)

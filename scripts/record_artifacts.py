@@ -1,4 +1,4 @@
-"""One-process recorder for every committed TPU artifact (round-3 set).
+"""One-process recorder for every committed TPU artifact (round-4 set).
 
 Runs ALL device work in a single long-lived process (rapid client churn
 wedges the tunneled TPU runtime — see .claude/skills/verify/SKILL.md):
@@ -66,7 +66,7 @@ def record_golden_mdgan(root: Path) -> None:
         "--eval_n_samples", "10000",
         "--host_metrics", str(out / "logs" / "host.csv"),
         "--log_dir", logs, "--image_dir", imgs, "--weights_dir", weights,
-        "--checkpoint_dir", "/tmp/golden_ckpt_r3",
+        "--checkpoint_dir", "/tmp/golden_ckpt_r4",
     ], out / "summary.json")
 
 
@@ -78,7 +78,7 @@ def record_golden_standalone(root: Path) -> None:
         "--epochs", "2000", "--batch_size", "10",
         "--log_interval", "300", "--seed", "42",
         "--log_dir", logs, "--image_dir", imgs, "--weights_dir", weights,
-        "--checkpoint_dir", "/tmp/golden_sa_ckpt_r3",
+        "--checkpoint_dir", "/tmp/golden_sa_ckpt_r4",
     ], out / "summary.json")
 
 
@@ -89,8 +89,15 @@ def record_headline(root: Path) -> None:
         "--mode", "mdgan", "--dataset", "CIFAR10", "--num_workers", "8",
         "--epochs", "30000", "--batch_size", "10", "--swap_interval", "5000",
         "--log_interval", "300", "--seed", "42",
+        # standard-protocol FID/IS on the flagship artifact (VERDICT r3 #5):
+        # fid_standard/is_standard alongside the reference 5-sample columns.
+        # Cadence 10 = 12 standard evals across the run (rounds 0, 3000, ...,
+        # 27000, 29999): each 10k-sample eval costs ~10 s of eval-thread
+        # linear algebra on this 1-vCPU host, so every-eval would make the
+        # flagship recording eval-bound by ~25 min for no extra signal.
+        "--eval_n_samples", "10000", "--eval_standard_interval", "10",
         "--log_dir", logs, "--image_dir", imgs, "--weights_dir", weights,
-        "--checkpoint_dir", "/tmp/headline_ckpt_r3",
+        "--checkpoint_dir", "/tmp/headline_ckpt_r4",
     ], out / "summary.json")
 
 
@@ -116,14 +123,14 @@ def record_bench(root: Path) -> None:
         (out / dest).write_text(buf.getvalue())
         print(f"== bench {argv} ->\n{buf.getvalue()}", flush=True)
 
-    capture(["--config", "headline"], "BENCH_headline_r03.json")
-    capture(["--config", "sustained"], "BENCH_sustained_r03.json")
-    capture(["--config", "scaling"], "BENCH_scaling_r03.json")
+    capture(["--config", "headline"], "BENCH_headline_r04.json")
+    capture(["--config", "sustained"], "BENCH_sustained_r04.json")
+    capture(["--config", "scaling"], "BENCH_scaling_r04.json")
 
 
 def record_bench_families(root: Path) -> None:
     """The non-headline BASELINE.json configs (REPORT.md §4 family table),
-    one JSON line each -> BENCH_families_r03.json."""
+    one JSON line each -> BENCH_families_r04.json."""
     import json as _json
 
     sys.path.insert(0, str(root))
@@ -139,16 +146,20 @@ def record_bench_families(root: Path) -> None:
     r = bench.bench_standalone()
     print(f"== bench standalone -> {r}", flush=True)
     lines.append(_json.dumps(r))
-    (out / "BENCH_families_r03.json").write_text("\n".join(lines) + "\n")
+    (out / "BENCH_families_r04.json").write_text("\n".join(lines) + "\n")
 
 
 def record_scale_runs(root: Path) -> None:
     """Reference-scale committed runs: the reference's ground truth includes
     FULL 20-worker (10k rounds) and 40-worker (5k rounds) CIFAR-10 logs
     (``src/results/logs/mdgan.{20,40}.CIFAR10.*``).  Record the analogous
-    seeded real-TPU runs -> artifacts/scale/, committed lean (server CSV +
-    worker-1 CSV + summary + a few grids; weights dropped — the reference
-    itself commits no weights for these two scales)."""
+    seeded real-TPU runs -> artifacts/scale/.  Committed inventory matches
+    the reference's at these scales: server CSV + ALL N worker CSVs (workers
+    2..N gzipped, ~10x — ``spans.read_spans`` opens .gz transparently;
+    worker 1 stays plain for direct tooling) + summary + a few grids;
+    weights dropped (the reference commits none at these scales)."""
+    import gzip
+
     for n, epochs in ((20, 10000), (40, 5000)):
         out = root / "artifacts" / "scale" / f"cifar10_w{n}_r{epochs}"
         logs, imgs, weights = (_fresh(out / "logs"), _fresh(out / "images"),
@@ -159,11 +170,13 @@ def record_scale_runs(root: Path) -> None:
             "--batch_size", "10", "--swap_interval", "5000",
             "--log_interval", "300", "--seed", "42",
             "--log_dir", logs, "--image_dir", imgs, "--weights_dir", weights,
-            "--checkpoint_dir", f"/tmp/scale_ckpt_w{n}",
+            "--checkpoint_dir", f"/tmp/scale_ckpt_w{n}_r4",
         ], out / "summary.json")
-        # lean inventory: reference commits logs only at these scales
         for p in sorted(Path(logs).glob("mdgan.*.worker.*.logs.csv")):
             if not p.name.endswith(".worker.1.logs.csv"):
+                with open(p, "rb") as src, gzip.open(
+                        f"{p}.gz", "wb", compresslevel=9) as dst:
+                    shutil.copyfileobj(src, dst)
                 p.unlink()
         shutil.rmtree(weights)
         grids = sorted(Path(imgs).glob("generated_epoch_*.png"),
@@ -172,24 +185,36 @@ def record_scale_runs(root: Path) -> None:
         for p in grids:
             if p not in keep:
                 p.unlink()
-        print(f"== scale w{n} r{epochs} recorded (lean)", flush=True)
+        print(f"== scale w{n} r{epochs} recorded (all worker logs)", flush=True)
 
 
 def record_straggler_sweep(root: Path) -> None:
     """Straggler-policy convergence sweep (REPORT.md §5.1): seeded
     2000-round runs at drop rates 0 (control), 0.3, 0.6, 0.9 ->
-    artifacts/bench/STRAGGLER_sweep_r03.json (pinned by
-    tests/test_bench_artifacts.py)."""
+    artifacts/bench/STRAGGLER_sweep_r04.json (pinned by
+    tests/test_bench_artifacts.py).
+
+    r04 makes the sweep answer its own question (VERDICT r3 #3): the quality
+    signal is the STANDARD-protocol FID/IS (10k samples — r03 proved the
+    5-sample columns are noise: best_fid was non-monotonic in the rate), the
+    loss trend is summarized over the final 200 rounds across all workers,
+    and each rate's server + worker-1 CSVs plus ``analyze --compare``
+    overlay figures are committed under
+    ``artifacts/bench/straggler_sweep_r04/`` so the conclusion is checkable.
+    """
     import numpy as np
 
+    from mdgan_tpu.cli.analyze import plot_compare
     from mdgan_tpu.obs import spans as spans_lib
 
     out = root / "artifacts" / "bench"
-    out.mkdir(parents=True, exist_ok=True)
+    keep = out / "straggler_sweep_r04"
+    if keep.exists():
+        shutil.rmtree(keep)
     sweep = {}
     n_workers = 8
     for rate in ("0", "0.3", "0.6", "0.9"):
-        scratch = Path(f"/tmp/straggler_{rate}")
+        scratch = Path(f"/tmp/straggler_r04_{rate}")
         logs, imgs, weights = (_fresh(scratch / "logs"), _fresh(scratch / "imgs"),
                                _fresh(scratch / "weights"))
         t0 = time.time()
@@ -198,7 +223,7 @@ def record_straggler_sweep(root: Path) -> None:
             "--num_workers", str(n_workers),
             "--epochs", "2000", "--batch_size", "10", "--swap_interval", "500",
             "--log_interval", "500", "--seed", "11", "--checkpoint_interval", "0",
-            "--straggler_rate", rate,
+            "--straggler_rate", rate, "--eval_n_samples", "10000",
             "--log_dir", logs, "--image_dir", imgs, "--weights_dir", weights,
             "--checkpoint_dir", str(scratch / "ckpt"),
         ], scratch / "summary.json")
@@ -209,19 +234,46 @@ def record_straggler_sweep(root: Path) -> None:
         nfb = [r["n_feedbacks"] for r in rows
                if isinstance(r.get("n_feedbacks"), float)]
         fids = [r["fid"] for r in rows if isinstance(r.get("fid"), float)]
+        fstd = [(r["epoch"], r["fid_standard"]) for r in rows
+                if isinstance(r.get("fid_standard"), float)]
+        # loss trend across ALL workers over the final 200 rounds (the
+        # worker CSVs carry the per-round per-worker series)
+        tail = []
+        for w in range(1, n_workers + 1):
+            wrows = spans_lib.read_spans(
+                Path(logs) / f"mdgan.{n_workers}.CIFAR10.worker.{w}.logs.csv")
+            tail.append([r["mean_d_loss"] for r in wrows[-200:]])
+        dest = keep / f"rate_{rate}"
+        dest.mkdir(parents=True)
+        shutil.copy(Path(logs) / f"mdgan.{n_workers}.CIFAR10.server.logs.csv",
+                    dest)
+        shutil.copy(Path(logs) / f"mdgan.{n_workers}.CIFAR10.worker.1.logs.csv",
+                    dest)
         sweep[rate] = dict(
             final_mean_d_loss=summary["final_mean_d_loss"],
+            d_loss_last200_mean=round(float(np.mean(tail)), 4),
             wall_s=round(wall, 2),
             rounds_per_sec=round(2000 / wall, 1),
             # the rate-0 control has no n_feedbacks column (opt-in schema):
             # every feedback is accepted, |S| == N by construction
             n_feedbacks_mean=(round(float(np.mean(nfb)), 2) if nfb
                               else float(n_workers)),
-            best_fid=round(min(fids), 2) if fids else None,
-            final_fid=round(fids[-1], 2) if fids else None,
+            best_fid_standard=round(min(v for _, v in fstd), 2) if fstd else None,
+            final_fid_standard=round(fstd[-1][1], 2) if fstd else None,
+            # 5-sample columns kept ONLY to document their noise (REPORT §5.1)
+            best_fid_5sample=round(min(fids), 2) if fids else None,
+            final_fid_5sample=round(fids[-1], 2) if fids else None,
+            feature_source=summary.get("feature_source"),
         )
         print(f"== straggler rate={rate}: {sweep[rate]}", flush=True)
-    (out / "STRAGGLER_sweep_r03.json").write_text(json.dumps(sweep, indent=1) + "\n")
+    (out / "STRAGGLER_sweep_r04.json").write_text(json.dumps(sweep, indent=1) + "\n")
+    # cross-rate overlay figures: fid_standard / is_standard / 5-sample fid /
+    # n_feedbacks from the server CSVs, mean_d_loss from the worker CSVs
+    servers = sorted(keep.glob("rate_*/mdgan.*.server.logs.csv"))
+    workers = sorted(keep.glob("rate_*/mdgan.*.worker.1.logs.csv"))
+    plot_compare(servers, keep / "figures")
+    plot_compare(workers, keep / "figures")
+    print(f"== straggler sweep figures -> {keep / 'figures'}", flush=True)
 
 
 def prune_weights(root: Path) -> None:

@@ -82,6 +82,32 @@ def test_inception_score_bounds():
     assert is_conf > 8.0  # ~= number of classes when confident & diverse
 
 
+def test_tracker_dense_fast_path_matches_generic(monkeypatch):
+    """FIDTracker's cached dense route (precomputed real-side mu/Sigma/
+    sqrtm(Sigma)) must equal the generic frechet_from_features on the same
+    features — the cache is a per-eval cost optimization, not a different
+    estimator."""
+    import mdgan_tpu.metrics.fid as fid_mod
+    import mdgan_tpu.metrics.inception as inc
+    from mdgan_tpu.metrics.fid import FIDTracker, frechet_from_features
+
+    monkeypatch.setattr(inc, "calibrated_variables", lambda x: None)
+    monkeypatch.setattr(
+        fid_mod, "inception_features",
+        lambda x, batch=None, variables=None: (np.asarray(x, np.float64), None))
+    rng = np.random.default_rng(5)
+    f1 = rng.normal(size=(300, 16))
+    f2 = rng.normal(loc=0.3, scale=1.2, size=(400, 16))
+    tracker = FIDTracker(f1)
+    assert tracker._dense
+    np.testing.assert_allclose(tracker.score(f2),
+                               frechet_from_features(f1, f2), rtol=1e-9)
+    # low-sample side falls back to the generic (low-rank) route
+    small = rng.normal(size=(8, 16))
+    np.testing.assert_allclose(tracker.score(small),
+                               frechet_from_features(f1, small), rtol=1e-9)
+
+
 @pytest.mark.slow
 def test_inception_network_runs():
     """End-to-end feature extraction through the Flax InceptionV3 (random

@@ -213,6 +213,21 @@ def test_standard_protocol_in_trainer(tmp_path, stub_inception):
     vals = [r["fid_standard"] for r in rows if r["fid_standard"]]
     assert len(vals) == 3
 
+    # --eval_standard_interval K: standard eval on every K-th eval event
+    # plus the final round; 5-sample logging stays on every eval round.
+    # epochs=7, log_interval=2 -> evals at 0,2,4,6; K=2 -> standard at
+    # events 0,2 (rounds 0,4) + forced final (round 6)
+    argv2 = ["--mode", "mdgan", "--num_workers", "2", "--epochs", "7",
+             "--batch_size", "2", "--chunk_size", "2", "--swap_interval", "0",
+             "--log_interval", "2", "--checkpoint_interval", "0",
+             "--eval_n_samples", "16", "--eval_standard_interval", "2"]
+    tr2 = MDGANTrainer(_cfg(tmp_path / "k2", argv2))
+    summary2 = tr2.train()
+    tr2.close()
+    assert [e["epoch"] for e in summary2["evals"]] == [0, 2, 4, 6]
+    std_epochs = [e["epoch"] for e in summary2["evals"] if "fid_standard" in e]
+    assert std_epochs == [0, 4, 6]
+
 
 def test_batched_metrics_spans_non_overlapping(tmp_path, stub_inception):
     """Under the batched metrics fetch (metrics_flush > 1) the synthesized
