@@ -62,12 +62,19 @@ def _utilization_fields(compiled, rounds: int, steps_per_sec: float) -> dict:
     (``jax.stages.Compiled.cost_analysis``), plus derived MFU and
     HBM-bandwidth utilization against the chip's public bf16/HBM peaks.
 
-    ``flops`` is XLA's algorithmic count for the whole chunk program;
-    ``bytes accessed`` is its post-fusion analytical operand+output traffic
-    estimate (an upper-ish bound on true HBM traffic — fusion-internal
-    reuse is already excluded, on-chip cache hits are not).  Fields are
-    omitted (with a marker) when the backend exposes no cost model, so the
-    bench JSON line still emits on exotic platforms."""
+    IMPORTANT loop semantics: XLA's HLO cost analysis visits a while-loop
+    (``lax.scan``) body ONCE — trip count is opaque to it — so a chunk
+    program of any length reports the flops/bytes of ONE loop body.
+    Callers must therefore pass a program whose body covers exactly
+    ``rounds`` rounds (the benches use a length-1 chunk: scan trip 1, body
+    = one round; validated against a hand FLOP count of the DCGAN round in
+    tests).  ``flops`` is the algorithmic count; ``bytes accessed`` is the
+    post-fusion analytical operand+output traffic, which OVERCOUNTS real
+    HBM traffic (every fusion-boundary tensor is billed even when it stays
+    resident), so ``hbm_util`` is an upper bound and can exceed 1 — the
+    wall-clock roofline in REPORT.md §2 is the ground truth; these fields
+    make it auditable.  Fields degrade to a marker when the backend
+    exposes no cost model."""
     import jax
 
     try:
@@ -85,7 +92,8 @@ def _utilization_fields(compiled, rounds: int, steps_per_sec: float) -> dict:
     for sub, peak_f, peak_b in DEVICE_PEAKS:
         if sub in kind:
             out["mfu"] = round(flops / rounds * steps_per_sec / peak_f, 5)
-            out["hbm_util"] = round(nbytes / rounds * steps_per_sec / peak_b, 4)
+            out["hbm_util_analytical"] = round(
+                nbytes / rounds * steps_per_sec / peak_b, 4)
             out["peak_flops_per_sec"] = peak_f
             out["peak_hbm_bytes_per_sec"] = peak_b
             break
@@ -128,10 +136,11 @@ def kernel_cost_fields(name: str, steps_per_sec: float) -> dict:
     import jax.numpy as jnp
 
     eng, st, shards, sampler = _setup_mdgan(name)
-    chunk = CONFIGS[name][3]
-    idx = jnp.asarray(sampler.next_chunk(chunk))
-    compiled = eng.chunk_fn(chunk).lower(st, shards, idx).compile()
-    return _utilization_fields(compiled, chunk, steps_per_sec)
+    # length-1 chunk: the cost model bills a scan body once (see
+    # _utilization_fields), so a 1-round body is the per-round cost exactly
+    idx = jnp.asarray(sampler.next_chunk(1))
+    compiled = eng.chunk_fn(1).lower(st, shards, idx).compile()
+    return _utilization_fields(compiled, 1, steps_per_sec)
 
 
 def bench_mdgan(name: str) -> dict:
@@ -174,7 +183,10 @@ def bench_mdgan(name: str) -> dict:
         "steps_timed": steps,
         "wall_s": round(dt, 3),
     }
-    out.update(_utilization_fields(run, chunk, steps_per_sec))
+    # cost fields from a LENGTH-1 chunk program (scan body == one round;
+    # the cost model bills loop bodies once — see _utilization_fields)
+    cost_prog = eng.chunk_fn(1).lower(st, shards, idxs[0][:1]).compile()
+    out.update(_utilization_fields(cost_prog, 1, steps_per_sec))
     if name == "headline":
         out.update({
             "metric": "mdgan_cifar10_8worker_steps_per_sec",
@@ -221,7 +233,8 @@ def bench_standalone() -> dict:
         "device": str(jax.devices()[0]),
         "wall_s": round(dt, 3),
     }
-    out.update(_utilization_fields(run, chunk, n_chunks * chunk / dt))
+    cost_prog = eng.chunk_fn(1).lower(st, arr, idxs[0][:1]).compile()
+    out.update(_utilization_fields(cost_prog, 1, n_chunks * chunk / dt))
     return out
 
 

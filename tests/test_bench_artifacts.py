@@ -91,16 +91,21 @@ def test_straggler_sweep_artifact():
 
 
 def _check_utilization(row):
-    """r04 rows carry the cost-model fields (VERDICT r3 weak #3)."""
+    """r04 rows carry the cost-model fields (VERDICT r3 weak #3).
+
+    mfu is a true fraction of peak; hbm_util_analytical derives from XLA's
+    'bytes accessed', which overcounts real HBM traffic (fusion-boundary
+    tensors billed even when resident), so it is an upper bound and only
+    gets a loose sanity ceiling here."""
     assert row["flops_per_round"] > 0
     assert row["bytes_per_round"] > 0
     assert 0 < row["mfu"] < 1
-    assert 0 < row["hbm_util"] < 1
+    assert 0 < row["hbm_util_analytical"] < 32
     # self-consistency: mfu == flops_per_round * rate / peak
     assert row["mfu"] == pytest.approx(
         row["flops_per_round"] * row["value"] / row["peak_flops_per_sec"],
         rel=0.02)
-    assert row["hbm_util"] == pytest.approx(
+    assert row["hbm_util_analytical"] == pytest.approx(
         row["bytes_per_round"] * row["value"] / row["peak_hbm_bytes_per_sec"],
         rel=0.02)
 
@@ -195,6 +200,23 @@ def test_bench_kernel_emits_utilization_fields():
     kind_known = any(s in __import__("jax").devices()[0].device_kind.lower()
                      for s, _, _ in bench.DEVICE_PEAKS)
     assert ("mfu" in row) == kind_known
+
+
+@pytest.mark.slow
+def test_headline_flops_per_round_matches_hand_count():
+    """The cost model's per-round FLOPs for the headline DCGAN config must
+    sit in the hand-derived magnitude band — guards the scan-body-once
+    accounting (XLA bills a loop body ONCE; dividing a 500-round chunk's
+    cost by 500 under-reported flops ~250x before the length-1 fix).
+
+    Hand count (CIFAR-10 DCGAN-32, N=8, b=10, k=2): one D forward is
+    ~52 MFLOPs/image (conv MACs x2); a round trains 8 discriminators on 20
+    images (forward + ~2x backward) plus the feedback pass and the
+    generator forward/VJP on k*b=20 images — order 25-45 GFLOPs/round."""
+    import bench
+
+    fields = bench.kernel_cost_fields("headline", steps_per_sec=1.0)
+    assert 8e9 < fields["flops_per_round"] < 9e10
 
 
 def test_family_benches_cover_every_model_family():
