@@ -2,8 +2,9 @@
 
 The reference commits FULL 20-worker (10k-round) and 40-worker (5k-round)
 CIFAR-10 logs as ground truth (``src/results/logs/mdgan.{20,40}.CIFAR10.*``);
-these are the analogous seeded real-TPU recordings (lean inventory: the
-reference itself commits no weights at these scales).  Recorded by
+these are the analogous seeded real-TPU recordings, with ALL worker CSVs
+committed like the reference (workers 2..N gzipped; no weights — the
+reference itself commits none at these scales).  Recorded by
 ``scripts/record_artifacts.py --steps scale``.
 """
 
