@@ -24,7 +24,7 @@ Layout:
     engine/    standalone trainer, MD-GAN SPMD trainer, host train loop
     metrics/   FID / Inception Score with pluggable feature network
     obs/       span (per-op timing) CSV logs, image grids
-    cli/       train / generate / analyze entry points
+    cli/       train / generate / analyze / convert_weights entry points
 """
 
 __version__ = "0.1.0"
