@@ -66,6 +66,14 @@ def analyze_file(path: Path) -> dict:
     return report
 
 
+def _fig_stem(path: Path) -> str:
+    """Figure/label stem of a span CSV: basename minus .logs.csv[.gz]."""
+    stem = path.name
+    for suffix in (".gz", ".csv", ".logs"):
+        stem = stem[: -len(suffix)] if stem.endswith(suffix) else stem
+    return stem
+
+
 def plot_file(path: Path, out_dir: Path) -> None:
     """Render the reference notebook's figure kinds: per-op mean-duration
     bars, per-round duration series, loss curve, FID/IS curves
@@ -78,7 +86,7 @@ def plot_file(path: Path, out_dir: Path) -> None:
     rows = spans_lib.read_spans(path)
     durations = spans_lib.span_durations(rows)
     out_dir.mkdir(parents=True, exist_ok=True)
-    stem = path.stem.replace(".logs", "")
+    stem = _fig_stem(path)
 
     ops = [(op, np.mean(ds)) for op, ds in sorted(durations.items()) if ds]
     if ops:
@@ -180,7 +188,7 @@ def plot_timeline(paths: List[Path], out_path: Path, max_rows: int = 10) -> bool
     t0 = None
     for path in paths:
         rows = spans_lib.read_spans(path, max_rows=max_rows)
-        actor = path.stem.replace(".logs", "")
+        actor = _fig_stem(path)
         per_op: dict = {}
         for row in rows:
             for key, val in row.items():
@@ -272,7 +280,7 @@ def plot_compare(paths: List[Path], out_dir: Path) -> bool:
 
 def is_host_csv(path: Path) -> bool:
     """A ``--host_metrics`` CSV (obs/hostmon.py), not a span CSV."""
-    with open(path, encoding="utf-8") as f:
+    with spans_lib.open_maybe_gz(path) as f:
         header = f.readline().strip().split(",")
     return all(c in header for c in HOST_COLUMNS)
 
@@ -282,7 +290,8 @@ def analyze_host_file(path: Path) -> dict:
     ``gce_stats/gce_stats.ipynb`` reduction (cpu/mem/net per run)."""
     import csv as csv_mod
 
-    rows = list(csv_mod.DictReader(open(path, encoding="utf-8")))
+    with spans_lib.open_maybe_gz(path) as f:
+        rows = list(csv_mod.DictReader(f))
     t = np.array([float(r["time"]) for r in rows])
     cpu = np.array([float(r["cpu_percent"]) for r in rows])
     mem = np.array([float(r["mem_used_mb"]) for r in rows])
@@ -307,7 +316,8 @@ def plot_host_file(path: Path, out_dir: Path) -> bool:
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    rows = list(csv_mod.DictReader(open(path, encoding="utf-8")))
+    with spans_lib.open_maybe_gz(path) as f:
+        rows = list(csv_mod.DictReader(f))
     if len(rows) < 2:
         return False
     t = np.array([float(r["time"]) for r in rows])

@@ -166,7 +166,6 @@ class MDGANTrainer:
         self.ckpt = ckpt_lib.CheckpointManager(Path(tc.checkpoint_dir) / name)
         self._fid_tracker = None
         self._fid_std_tracker = None
-        self._eval_count = 0  # eval events so far (standard-eval cadence)
         self._eval_history: List[Dict] = []
         if tc.resume and self.ckpt.latest_step() is not None:
             self._resume()
@@ -324,13 +323,14 @@ class MDGANTrainer:
 
         result = {"epoch": epoch, "fid": fid, "is": is_mean}
         # standard-protocol cadence: every K-th eval event plus the final
-        # round (eval events execute in submission order on the single eval
-        # thread, so the counter is deterministic)
+        # round.  The event index is DERIVED from the epoch (evals fire at
+        # epoch % log_interval == 0, train() loop) rather than counted, so a
+        # --resume'd run standard-evals the same rounds as an uninterrupted
+        # one (a counter would restart at 0 mid-run and shift the cadence)
         k = max(tc.eval_standard_interval, 1)
+        eval_idx = epoch // max(tc.log_interval, 1)
         run_standard = (tc.eval_n_samples > 0
-                        and (self._eval_count % k == 0
-                             or epoch == tc.epochs - 1))
-        self._eval_count += 1
+                        and (eval_idx % k == 0 or epoch == tc.epochs - 1))
         if run_standard:
             result.update(self._evaluate_standard(epoch, g))
             marks.update(fid_standard=result["fid_standard"],
@@ -483,6 +483,13 @@ class MDGANTrainer:
             swap_e = server_row.get("end.swap") if server_row else None
             if not (isinstance(swap_s, float) and isinstance(swap_e, float)):
                 swap_s = swap_e = t1
+            # the swap lands on the chunk's LAST synthesized round, whose
+            # span is [t1-dt, t1]; a measured swap window longer than one
+            # synthesized round would start before that row's own epoch
+            # span, so clamp the worker-row copy to the row (the server row
+            # keeps the full measured duration)
+            swap_s = max(swap_s, t1 - dt)
+            swap_e = max(swap_e, swap_s)
         losses = d_losses.astype(float)
         for r in range(self.n):
             rows = []

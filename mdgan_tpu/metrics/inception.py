@@ -415,6 +415,7 @@ def _run_fn():
 
 def inception_features(images: jax.Array, batch: Optional[int] = None,
                        variables: Optional[dict] = None,
+                       window_bytes: int = 256 << 20,
                        ) -> Tuple[np.ndarray, np.ndarray]:
     """Pool features + softmax probs for images in [0, 1], any HxW, 1 or 3 ch.
 
@@ -425,12 +426,15 @@ def inception_features(images: jax.Array, batch: Optional[int] = None,
     use an 8-wide bucket (8x less padded compute), mid-size ones 64, and
     standard-protocol-size sets (>=512 images) a 256-wide bucket.
 
-    All batches are DISPATCHED first and fetched with one ``device_get`` at
-    the end: on remote/tunneled runtimes a per-batch fetch costs a full
+    Batches are DISPATCHED ahead and fetched in few large ``device_get``
+    windows: on remote/tunneled runtimes a per-batch fetch costs a full
     round trip, which serialized a 10k-image standard eval into ~160 round
-    trips; the single batched fetch is one (the same fix as the trainer's
-    batched metrics fetch).  Outputs are small (features + probs, ~125 MB
-    at 10k images), so holding them on device until the fetch is cheap.
+    trips (the same fix as the trainer's batched metrics fetch).  Every
+    not-yet-executed batch holds its INPUT buffer in HBM, so the window is
+    bounded by input bytes (~256 MB): a CIFAR-sized 10k eval (~123 MB)
+    still fetches exactly once, while 128px+ images flush every few
+    batches instead of parking GBs of inputs on an 8-16 GB chip.  Outputs
+    are small (features + probs, ~125 MB at 10k images).
 
     ``variables`` selects the weight set (e.g. a tracker's calibrated
     variables from :func:`calibrated_variables`); defaults to the base
@@ -442,7 +446,16 @@ def inception_features(images: jax.Array, batch: Optional[int] = None,
     n = images.shape[0]
     if batch is None:
         batch = 8 if n <= 8 else (256 if n >= 512 else 64)
-    outs, takes = [], []
+    fs, ps = [], []
+    outs, takes, pending = [], [], 0
+
+    def _flush():
+        nonlocal outs, takes, pending
+        for (f, p), take in zip(jax.device_get(outs), takes):
+            fs.append(np.asarray(f[:take], np.float64))
+            ps.append(np.asarray(p[:take], np.float64))
+        outs, takes, pending = [], [], 0
+
     for s in range(0, n, batch):
         part = images[s : s + batch]
         take = part.shape[0]
@@ -451,7 +464,8 @@ def inception_features(images: jax.Array, batch: Optional[int] = None,
             part = np.concatenate([np.asarray(part), pad])
         outs.append(run(variables, part))  # async dispatch, no sync here
         takes.append(take)
-    fetched = jax.device_get(outs)  # ONE device->host transfer
-    fs = [np.asarray(f[:take], np.float64) for (f, _), take in zip(fetched, takes)]
-    ps = [np.asarray(p[:take], np.float64) for (_, p), take in zip(fetched, takes)]
+        pending += int(np.prod(part.shape)) * np.dtype(part.dtype).itemsize
+        if pending >= window_bytes:
+            _flush()
+    _flush()
     return np.concatenate(fs), np.concatenate(ps)

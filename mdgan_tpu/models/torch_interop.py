@@ -98,13 +98,9 @@ MAPS: Dict[Tuple[str, str], List[_Entry]] = {
 
 
 def _nest(flat: Dict[Tuple[str, ...], np.ndarray]) -> Dict:
-    tree: Dict = {}
-    for path, v in flat.items():
-        node = tree
-        for p in path[:-1]:
-            node = node.setdefault(p, {})
-        node[path[-1]] = v
-    return tree
+    from flax.traverse_util import unflatten_dict
+
+    return unflatten_dict(flat)
 
 
 def _get(tree: Dict, path: Tuple[str, ...]) -> Dict:

@@ -177,17 +177,22 @@ class NullSpanLogger(SpanLogger):
         pass
 
 
-def read_spans(path: Path, max_rows: Optional[int] = None) -> List[Dict]:
-    """Parse a span CSV back into rows with float timestamps (the analysis
-    side of the reference's ``plot_logs.ipynb`` cell 3).  ``max_rows`` stops
-    reading early (e.g. timeline figures use only the first few rows).
-    ``.csv.gz`` files open transparently (the committed scale runs gzip
+def open_maybe_gz(path):
+    """Text-mode open that handles ``.csv.gz`` transparently — the shared
+    opener for every CSV the tooling reads (the committed scale runs gzip
     their per-worker logs — 20-40 workers × 5-10k rounds each)."""
     import gzip
 
-    out = []
     opener = gzip.open if str(path).endswith(".gz") else open
-    with opener(path, "rt", encoding="utf-8") as f:
+    return opener(path, "rt", encoding="utf-8")
+
+
+def read_spans(path: Path, max_rows: Optional[int] = None) -> List[Dict]:
+    """Parse a span CSV back into rows with float timestamps (the analysis
+    side of the reference's ``plot_logs.ipynb`` cell 3).  ``max_rows`` stops
+    reading early (e.g. timeline figures use only the first few rows)."""
+    out = []
+    with open_maybe_gz(path) as f:
         for row in csv.DictReader(f):
             if max_rows is not None and len(out) >= max_rows:
                 break

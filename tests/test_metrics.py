@@ -126,6 +126,13 @@ def test_inception_network_runs():
     g = rng.uniform(0, 1, (2, 28, 28, 1)).astype(np.float32)
     feats_g, _ = inception_features(g, batch=2)
     assert feats_g.shape == (2, 2048)
+    # the bounded fetch window (input-residency cap for large images) must
+    # not change results: a window forcing a flush per batch == one fetch
+    imgs10 = rng.uniform(0, 1, (10, 32, 32, 3)).astype(np.float32)
+    f1, p1 = inception_features(imgs10, batch=4)
+    f2, p2 = inception_features(imgs10, batch=4, window_bytes=1)
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(p1, p2)
 
 
 @pytest.mark.slow

@@ -195,6 +195,45 @@ def test_plot_figures_from_repo_and_reference_csvs(tmp_path):
     assert (out2 / "timeline.png").exists()
 
 
+def test_analyze_reads_gzipped_worker_csvs(tmp_path):
+    """The committed scale artifacts gzip workers 2..N; the WHOLE analyze
+    path (is_host_csv classification, per-op stats, figures) must open
+    .csv.gz transparently, not just spans.read_spans (r4 review: is_host_csv
+    decoded the gzip magic byte as utf-8 and crashed)."""
+    import gzip
+    import shutil
+    import time
+    from pathlib import Path
+
+    from mdgan_tpu.cli import analyze
+
+    path = tmp_path / "mdgan.2.Synth.worker.2.logs.csv"
+    logger = spans_lib.SpanLogger(path, spans_lib.worker_row_template(0, 2.53))
+    for e in range(3):
+        logger.begin_row(spans_lib.worker_row_template(e, 2.53))
+        with logger.span("calc_gradients"):
+            time.sleep(0.001)
+        logger.mark(mean_d_loss=0.5)
+        logger.end_row()
+    logger.close()
+    gz = tmp_path / "mdgan.2.Synth.worker.2.logs.csv.gz"
+    with open(path, "rb") as fin, gzip.open(gz, "wb") as fout:
+        shutil.copyfileobj(fin, fout)
+
+    assert not analyze.is_host_csv(gz)
+    out = tmp_path / "plots"
+    assert analyze.main([str(gz), "--plot", str(out), "--json"]) == 0
+    assert (out / "mdgan.2.Synth.worker.2.ops.png").exists()
+
+    # and on a real committed scale artifact, when present
+    committed = Path(__file__).resolve().parent.parent / (
+        "artifacts/scale/cifar10_w20_r10000/logs/"
+        "mdgan.20.CIFAR10.worker.2.logs.csv.gz")
+    if committed.exists():
+        rep = analyze.analyze_file(committed)
+        assert rep["rows"] == 10000
+
+
 def test_analyze_compare_overlays_runs(tmp_path):
     """--compare overlays the FID/loss curves of several runs in one figure
     per metric (the reference report's standalone-vs-N-workers comparison

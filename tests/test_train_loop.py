@@ -228,6 +228,28 @@ def test_standard_protocol_in_trainer(tmp_path, stub_inception):
     std_epochs = [e["epoch"] for e in summary2["evals"] if "fid_standard" in e]
     assert std_epochs == [0, 4, 6]
 
+    # resume stability (r4 review): the cadence index is DERIVED from the
+    # epoch, so a --resume'd run standard-evals the same rounds as an
+    # uninterrupted one.  epochs=13, log=2, K=3 -> evals 0,2,..,12, standard
+    # at eval indices 0,3,6 = rounds 0,6,12.  Interrupt after round 7 and
+    # resume: post-resume evals 8,10,12 must standard-eval ONLY 12 (a
+    # restarted counter would wrongly standard-eval round 8).
+    base3 = ["--mode", "mdgan", "--num_workers", "2",
+             "--batch_size", "2", "--chunk_size", "2", "--swap_interval", "0",
+             "--log_interval", "2", "--checkpoint_interval", "4",
+             "--eval_n_samples", "16", "--eval_standard_interval", "3"]
+    th = MDGANTrainer(_cfg(tmp_path / "res", base3 + ["--epochs", "8"]))
+    th.train()
+    th.close()
+    tr3 = MDGANTrainer(_cfg(tmp_path / "res",
+                            base3 + ["--epochs", "13", "--resume"]))
+    assert int(tr3.state.step) == 8
+    summary3 = tr3.train()
+    tr3.close()
+    assert [e["epoch"] for e in summary3["evals"]] == [8, 10, 12]
+    assert [e["epoch"] for e in summary3["evals"]
+            if "fid_standard" in e] == [12]
+
 
 def test_batched_metrics_spans_non_overlapping(tmp_path, stub_inception):
     """Under the batched metrics fetch (metrics_flush > 1) the synthesized
@@ -295,6 +317,10 @@ def test_worker_swap_spans_and_feature_source(tmp_path, stub_inception):
         for r in swap_rows:
             s, e = r["start.swap_send"], r["end.swap_send"]
             assert isinstance(s, float) and isinstance(e, float) and e >= s
+            # child-within-parent: the copied swap window is clamped to the
+            # swap row's own synthesized epoch span (a measured swap longer
+            # than one round must not bleed into preceding rows' Gantt lanes)
+            assert s >= r["start.epoch"] and e <= r["end.epoch"]
             assert r["start.swap_recv"] == s and r["end.swap_recv"] == e
             assert (r["start.swap_recv_instruction"]
                     == r["end.swap_recv_instruction"] == s)
