@@ -225,6 +225,21 @@ def plot_timeline(paths: List[Path], out_path: Path, max_rows: int = 10) -> bool
 HOST_COLUMNS = ("time", "cpu_percent", "mem_used_mb")
 
 
+def _compare_labels(paths: List[Path]) -> List[str]:
+    """Legend labels for a cross-run overlay: runs usually share a filename
+    (runA/server.logs.csv vs runB/server.logs.csv — and the parent dir alone
+    can collide too, e.g. runA/logs/), so take the shortest trailing path
+    suffix that makes every label unique; filenames reduce to their
+    :func:`_fig_stem` (no ``.logs.csv[.gz]``)."""
+    k = 1
+    while True:
+        labels = ["/".join((*p.parts[-k:-1], _fig_stem(p))) for p in paths]
+        if (len(set(labels)) == len(labels)
+                or k >= max(len(p.parts) for p in paths)):
+            return labels
+        k += 1
+
+
 def plot_compare(paths: List[Path], out_dir: Path) -> bool:
     """Cross-run overlay figures: FID / IS / D-loss / n_feedbacks curves from
     several runs on shared axes, labeled by file stem — the reference
@@ -238,18 +253,7 @@ def plot_compare(paths: List[Path], out_dir: Path) -> bool:
 
     out_dir.mkdir(parents=True, exist_ok=True)
     parsed = [(p, spans_lib.read_spans(p)) for p in paths]  # parse each ONCE
-    # legend labels: runs usually share a filename (runA/server.logs.csv vs
-    # runB/server.logs.csv — and the parent dir alone can collide too, e.g.
-    # runA/logs/), so take the shortest trailing path suffix that makes
-    # every label unique
-    k = 1
-    while True:
-        labels = ["/".join(p.parts[-k:]).replace(".logs.csv", "")
-                  for p, _ in parsed]
-        if (len(set(labels)) == len(labels)
-                or k >= max(len(p.parts) for p, _ in parsed)):
-            break
-        k += 1
+    labels = _compare_labels([p for p, _ in parsed])
     wrote = False
     for metric in ("fid", "is", "fid_standard", "is_standard",
                    "mean_d_loss", "n_feedbacks"):

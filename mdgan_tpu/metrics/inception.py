@@ -240,16 +240,22 @@ def feature_source_if_loaded() -> Optional[str]:
     return None if _CACHED is None else _CACHED[2]
 
 
-def load_torch_npz(path: Path, variables) -> dict:
+def load_torch_npz(path, variables) -> dict:
     """Map a torch inception_v3 state dict (saved as npz) onto our variables.
 
     torch keys look like ``Mixed_5b.branch1x1.conv.weight`` /
     ``...bn.{weight,bias,running_mean,running_var}`` / ``fc.{weight,bias}``.
     Conv weights are OIHW -> HWIO; Dense (out,in) -> (in,out).
+    ``path`` may be a filesystem path or an already-loaded ``{key: array}``
+    mapping (``get_inception`` reads the file once and passes the dict).
     """
     import flax
 
-    flat = dict(np.load(path))
+    if isinstance(path, dict):
+        flat = path
+    else:
+        with np.load(path) as npz:
+            flat = dict(npz)
     params = flax.traverse_util.flatten_dict(variables["params"], sep=".")
     stats = flax.traverse_util.flatten_dict(variables["batch_stats"], sep=".")
 
@@ -302,11 +308,17 @@ def get_inception(weights_path: Optional[str] = None):
     candidates += ["data/inception_v3.npz", "inception_v3.npz"]
     found = next((Path(c) for c in candidates if c and Path(c).exists()), None)
     if found is not None:
-        n_classes = int(np.load(found)["fc.bias"].shape[0])
+        with np.load(found) as npz:
+            flat = dict(npz)  # one read; load_torch_npz consumes the dict
+        if "fc.bias" not in flat:
+            raise KeyError(
+                f"{found}: missing 'fc.bias' — not an InceptionV3 state-dict "
+                "npz (expected the cli.convert_inception export layout)")
+        n_classes = int(flat["fc.bias"].shape[0])
         fid_variant = n_classes == 1008
         model = InceptionV3(num_classes=n_classes, fid_variant=fid_variant)
         variables = model.init(jax.random.key(42), jnp.zeros((1, 299, 299, 3)))
-        variables = load_torch_npz(found, variables)
+        variables = load_torch_npz(flat, variables)
         # the loader yields host numpy arrays; put them on device ONCE —
         # the jitted extractor takes variables as an argument, so host
         # leaves would otherwise re-upload the full ~90 MB pytree on

@@ -103,10 +103,17 @@ def _nest(flat: Dict[Tuple[str, ...], np.ndarray]) -> Dict:
     return unflatten_dict(flat)
 
 
-def _get(tree: Dict, path: Tuple[str, ...]) -> Dict:
-    for p in path:
-        tree = tree[p]
-    return tree
+def _get(tree: Dict, path: Tuple[str, ...], what: str) -> Dict:
+    node = tree
+    for i, p in enumerate(path):
+        try:
+            node = node[p]
+        except (KeyError, TypeError):
+            raise KeyError(
+                f"{what} tree lacks {'/'.join(path)!r} (missing at "
+                f"{'/'.join(path[: i + 1])!r}) — not a weights export of "
+                f"this (dataset, role) model?") from None
+    return node
 
 
 def _map_for(dataset: str, role: str) -> List[_Entry]:
@@ -174,7 +181,7 @@ def flax_to_torch(params: Dict, stats: Dict, dataset: str, role: str) -> Dict:
     after wrapping in tensors — see ``cli/convert_weights.py``)."""
     out: Dict[str, np.ndarray] = {}
     for prefix, kind, path in _map_for(dataset, role):
-        leaf = _get(params, path)
+        leaf = _get(params, path, f"({dataset}, {role}) params")
         if kind == "conv":
             out[f"{prefix}.weight"] = np.ascontiguousarray(
                 np.asarray(leaf["kernel"]).transpose(3, 2, 0, 1))
@@ -192,7 +199,7 @@ def flax_to_torch(params: Dict, stats: Dict, dataset: str, role: str) -> Dict:
         else:  # bn
             out[f"{prefix}.weight"] = np.asarray(leaf["scale"])
             out[f"{prefix}.bias"] = np.asarray(leaf["bias"])
-            s = _get(stats, path)
+            s = _get(stats, path, f"({dataset}, {role}) batch_stats")
             out[f"{prefix}.running_mean"] = np.asarray(s["mean"])
             out[f"{prefix}.running_var"] = np.asarray(s["var"])
             out[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)

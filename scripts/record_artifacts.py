@@ -91,8 +91,9 @@ def record_headline(root: Path) -> None:
         "--log_interval", "300", "--seed", "42",
         # standard-protocol FID/IS on the flagship artifact (VERDICT r3 #5):
         # fid_standard/is_standard alongside the reference 5-sample columns.
-        # Cadence 10 = 12 standard evals across the run (rounds 0, 3000, ...,
-        # 27000, 29999): each 10k-sample eval costs ~10 s of eval-thread
+        # Cadence 10 = 11 standard evals across the run (rounds 0, 3000, ...,
+        # 27000, plus the forced final 29999): each 10k-sample eval costs
+        # ~10 s of eval-thread
         # linear algebra on this 1-vCPU host, so every-eval would make the
         # flagship recording eval-bound by ~25 min for no extra signal.
         "--eval_n_samples", "10000", "--eval_standard_interval", "10",

@@ -279,6 +279,17 @@ def test_analyze_compare_overlays_runs(tmp_path):
          tmp_path / "runB" / "logs" / "server.logs.csv"], _P(out2))
     assert (out2 / "compare.fid.png").exists()
 
+    # gzipped CSVs (the committed scale-run worker inventory) get the same
+    # clean stem as plain ones — no dangling ".gz" in legend labels
+    import gzip
+
+    gz = tmp_path / "runA" / "logs" / "worker.logs.csv.gz"
+    with open(paths[0], "rb") as fin, gzip.open(gz, "wb") as fout:
+        shutil.copyfileobj(fin, fout)
+    labels = analyze._compare_labels(
+        [tmp_path / "runA" / "logs" / "server.logs.csv", gz])
+    assert labels == ["server", "worker"]
+
 
 def test_analyze_host_metrics_csv(tmp_path):
     """analyze must recognize hostmon CSVs (gce_stats.ipynb analogue): summary
