@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="number of discriminators N (reference world_size - 1)")
     p.add_argument("--num_replicas", type=int, default=1,
                    help="data-parallel replica mesh axis (batch sharding)")
+    p.add_argument("--num_tensor", type=int, default=1,
+                   help="tensor-parallel mesh axis for the generator "
+                        "(shards G params + Adam moments over output "
+                        "channels; XLA inserts the activation collectives)")
     p.add_argument("--epochs", type=int, default=30000,
                    help="training rounds (single-batch steps, reference naming)")
     p.add_argument("--swap_interval", type=int, default=5000)
@@ -143,7 +147,8 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
     data = DataConfig(dataset=args.dataset, data_dir=args.data_dir,
                       iid=args.iid == 1, max_examples=args.max_examples)
     mesh = MeshConfig(num_workers=args.num_workers,
-                      num_replicas=args.num_replicas)
+                      num_replicas=args.num_replicas,
+                      num_tensor=args.num_tensor)
     return RunConfig(train=train, data=data, mesh=mesh, mode=args.mode)
 
 

@@ -72,6 +72,15 @@ class MeshConfig:
     replica_axis: str = "replica"
     worker_axis: str = "workers"
     num_replicas: int = 1
+    # Tensor parallelism for the GENERATOR (beyond-parity; the reference
+    # replicates G on the server, server.py:105-120): every G param whose
+    # trailing (output-feature) dim divides ``num_tensor`` is sharded over
+    # this axis — Megatron-style column parallelism expressed as GSPMD
+    # sharding annotations; XLA inserts the activation collectives.  G
+    # params AND Adam moments shard, so optimizer memory scales down with
+    # the axis.  Default 1 = axis absent, layouts byte-identical to before.
+    tensor_axis: str = "tensor"
+    num_tensor: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -21,21 +21,28 @@ from mdgan_tpu.core.config import MeshConfig
 
 
 def make_mesh(cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a (replica, workers) mesh.
+    """Build a (replica, workers[, tensor]) mesh.
 
     The number of devices on the worker axis need not equal ``num_workers``:
     with fewer devices each device holds a contiguous slab of workers (the
     stacked axis is simply sharded), and with one device the whole stack is
     local — same program either way.
+
+    ``num_tensor > 1`` appends a minor ``tensor`` axis for generator tensor
+    parallelism (see :func:`generator_sharding`); it is the mesh's
+    fastest-varying axis so tensor collectives ride the closest ICI links
+    (the scaling-book layout rule: put the chattiest axis innermost).
     """
     if devices is None:
         devices = jax.devices()
     n = cfg.num_devices or len(devices)
     devices = list(devices)[:n]
-    n_rep = cfg.num_replicas
-    if n % n_rep != 0:
-        raise ValueError(f"{n} devices not divisible by num_replicas={n_rep}")
-    n_work = n // n_rep
+    n_rep, n_t = cfg.num_replicas, cfg.num_tensor
+    if n % (n_rep * n_t) != 0:
+        raise ValueError(
+            f"{n} devices not divisible by num_replicas={n_rep} "
+            f"* num_tensor={n_t}")
+    n_work = n // (n_rep * n_t)
     # Worker-axis devices must evenly divide the worker count so the stacked
     # leading axis shards cleanly.
     if cfg.num_workers % n_work != 0:
@@ -44,7 +51,7 @@ def make_mesh(cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) -
         while cfg.num_workers % d != 0:
             d -= 1
         n_work = d
-    used = n_rep * n_work
+    used = n_rep * n_work * n_t
     if used < n:
         import logging
 
@@ -52,6 +59,10 @@ def make_mesh(cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) -
             "mesh uses %d of %d devices (%d workers not divisible by the "
             "worker-axis size); %d devices idle", used, n, cfg.num_workers,
             n - used)
+    if n_t > 1:
+        dev_grid = np.asarray(devices[:used]).reshape(n_rep, n_work, n_t)
+        return Mesh(dev_grid,
+                    (cfg.replica_axis, cfg.worker_axis, cfg.tensor_axis))
     dev_grid = np.asarray(devices[:used]).reshape(n_rep, n_work)
     return Mesh(dev_grid, (cfg.replica_axis, cfg.worker_axis))
 
@@ -64,6 +75,35 @@ def worker_sharding(mesh: Mesh, cfg: MeshConfig) -> NamedSharding:
 def replicated(mesh: Mesh) -> NamedSharding:
     """Sharding for fully-replicated arrays (generator params, scalars)."""
     return NamedSharding(mesh, P())
+
+
+def generator_sharding(mesh: Mesh, cfg: MeshConfig, leaf) -> NamedSharding:
+    """Tensor-parallel placement for one generator-state leaf.
+
+    When the mesh carries a ``tensor`` axis, any leaf whose trailing dim
+    (Dense/conv output features, bias/BN channel vectors, and the Adam
+    moments mirroring them) divides the axis size shards over it —
+    Megatron-style column parallelism as a pure GSPMD annotation; XLA
+    propagates the sharding through the forward/VJP and inserts the
+    activation collectives.  Everything else (scalars, indivisible dims,
+    meshes without the axis) replicates, which is exactly the pre-tensor
+    layout — the reference server's replicated generator
+    (``server.py:105-120``)."""
+    t = mesh.shape.get(cfg.tensor_axis, 1)
+    nd = getattr(leaf, "ndim", 0)
+    if t > 1 and nd >= 1 and leaf.shape[-1] % t == 0:
+        return NamedSharding(
+            mesh, P(*([None] * (nd - 1)), cfg.tensor_axis))
+    return NamedSharding(mesh, P())
+
+
+def shard_generator(tree, mesh: Mesh, cfg: Optional[MeshConfig]):
+    """Place a generator NetState pytree under :func:`generator_sharding`
+    (fully replicated when no MeshConfig names a tensor axis)."""
+    if cfg is None:
+        return replicate(tree, mesh)
+    return jax.tree.map(
+        lambda a: global_put(a, generator_sharding(mesh, cfg, a)), tree)
 
 
 def global_put(a, sh: NamedSharding):

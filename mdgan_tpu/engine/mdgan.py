@@ -173,7 +173,9 @@ class MDGANEngine:
             else mesh_lib.global_put(a, rep),
             st.d,
         )
-        g = jax.tree.map(lambda a: mesh_lib.global_put(a, rep), st.g)
+        # generator: replicated without a tensor axis; tensor-parallel
+        # (trailing-dim sharded params + Adam moments) with one
+        g = mesh_lib.shard_generator(st.g, self.mesh, self.mesh_cfg)
         return MDGANState(g=g, d=d, key=mesh_lib.global_put(st.key, rep),
                           step=mesh_lib.global_put(st.step, rep))
 
