@@ -127,6 +127,52 @@ def test_mdgan_trainer_resume(tmp_path, stub_inception):
 
 
 @pytest.mark.slow
+def test_mdgan_trainer_tensor_axis_resume(tmp_path, stub_inception):
+    """The FULL trainer under --num_tensor 2 (generator tensor parallelism):
+    the CLI flag flows into the mesh, live generator params land
+    tensor-sharded, and an interrupted+resumed run is bit-identical to an
+    uninterrupted one — the resume path re-places restored host arrays
+    under the tensor sharding (engine.shard_state)."""
+    import jax
+
+    argv = [
+        "--mode", "mdgan", "--num_workers", "2", "--num_tensor", "2",
+        "--epochs", "12", "--batch_size", "4", "--swap_interval", "0",
+        "--log_interval", "6", "--chunk_size", "6",
+    ]
+    t_full = MDGANTrainer(_cfg(tmp_path / "full", argv))
+    assert dict(t_full.engine.mesh.shape) == {
+        "replica": 1, "workers": 2, "tensor": 2}
+    sharded = [a.sharding.spec for a in jax.tree.leaves(t_full.state.g.params)
+               if a.ndim >= 1 and a.shape[-1] % 2 == 0]
+    assert sharded and all(sp[-1] == "tensor" for sp in sharded)
+    t_full.train()
+    full_params = jax.device_get(t_full.state.g.params)
+    t_full.close()
+
+    half_argv = list(argv)
+    half_argv[half_argv.index("--epochs") + 1] = "7"
+    t_half = MDGANTrainer(_cfg(tmp_path / "half", half_argv))
+    assert t_half.cfg.train.epochs == 7
+    t_half.train()
+    t_half.close()
+    t_res = MDGANTrainer(_cfg(tmp_path / "half", argv + ["--resume"]))
+    assert int(t_res.state.step) == 7  # the interrupted run's final ckpt
+    res_sharded = [a.sharding.spec
+                   for a in jax.tree.leaves(t_res.state.g.params)
+                   if a.ndim >= 1 and a.shape[-1] % 2 == 0]
+    assert res_sharded and all(sp[-1] == "tensor" for sp in res_sharded)
+    t_res.train()
+    resumed_params = jax.device_get(t_res.state.g.params)
+    t_res.close()
+
+    for la, lb in zip(jax.tree.leaves(full_params),
+                      jax.tree.leaves(resumed_params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=0, rtol=0)
+
+
+@pytest.mark.slow
 def test_standalone_resume_bit_identical(tmp_path, stub_inception):
     """StandaloneTrainer checkpoint/resume (the §5.3/5.4 superset, now on the
     standalone path too): a run killed at its round-19 checkpoint and resumed
