@@ -1,4 +1,4 @@
-"""MD-GAN over a device mesh: workers sharded, optional replica axis.
+"""MD-GAN over a device mesh: workers sharded, optional replica/tensor axes.
 
 Works on real multi-chip hardware or, for a dry run anywhere, on a virtual
 CPU mesh:
@@ -18,6 +18,9 @@ def main():
                    help="run on the virtual CPU mesh (set XLA_FLAGS first)")
     p.add_argument("--num_workers", type=int, default=None)
     p.add_argument("--num_replicas", type=int, default=1)
+    p.add_argument("--num_tensor", type=int, default=1,
+                   help="generator tensor parallelism (column-sharded G "
+                        "params + Adam moments over a third mesh axis)")
     args = p.parse_args()
 
     import jax
@@ -32,8 +35,11 @@ def main():
     from mdgan_tpu.data.sampler import ShardSampler
 
     n_dev = len(jax.devices())
-    n_workers = args.num_workers or max(1, n_dev // args.num_replicas)
-    mesh_cfg = MeshConfig(num_workers=n_workers, num_replicas=args.num_replicas)
+    n_workers = args.num_workers or max(
+        1, n_dev // (args.num_replicas * args.num_tensor))
+    mesh_cfg = MeshConfig(num_workers=n_workers,
+                          num_replicas=args.num_replicas,
+                          num_tensor=args.num_tensor)
     mesh = mesh_lib.make_mesh(mesh_cfg)
     print(f"devices: {n_dev}, mesh: {dict(mesh.shape)}, workers: {n_workers}")
 
