@@ -100,17 +100,19 @@ def _utilization_fields(compiled, rounds: int, steps_per_sec: float) -> dict:
     return out
 
 
-def _setup_mdgan(name: str):
+def _setup_mdgan(name: str, moment_dtype: str = "float32"):
     """(engine, state, device shards, sampler) for a named kernel config."""
-    from mdgan_tpu.core.config import TrainConfig
+    from mdgan_tpu.core.config import OptimizerConfig, TrainConfig
     from mdgan_tpu.core.registry import get as get_spec
     from mdgan_tpu.data.partitioner import shard_data
     from mdgan_tpu.data.sampler import ShardSampler
     from mdgan_tpu.engine.mdgan import MDGANEngine
 
     dataset, n_workers, batch, chunk, n_chunks, max_ex = CONFIGS[name]
+    opt = OptimizerConfig(mu_dtype=moment_dtype, nu_dtype=moment_dtype)
     cfg = TrainConfig(batch_size=batch, local_epochs=1, chunk_size=chunk,
                       compute_dtype="bfloat16",
+                      generator_opt=opt, discriminator_opt=opt,
                       # cross-round XLA pipelining; numerics-invariant
                       # (tests/test_engine_coverage.py), +6% measured on the
                       # headline config (REPORT.md §4)
@@ -143,13 +145,13 @@ def kernel_cost_fields(name: str, steps_per_sec: float) -> dict:
     return _utilization_fields(compiled, 1, steps_per_sec)
 
 
-def bench_mdgan(name: str) -> dict:
+def bench_mdgan(name: str, moment_dtype: str = "float32") -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     dataset, n_workers, batch, chunk, n_chunks, max_ex = CONFIGS[name]
-    eng, st, shards, sampler = _setup_mdgan(name)
+    eng, st, shards, sampler = _setup_mdgan(name, moment_dtype)
     # AOT path: one explicit lower+compile gives both the callable used for
     # timing AND the executable's cost model (flops / bytes accessed) for
     # the utilization fields — no second compilation of the same program.
@@ -183,6 +185,8 @@ def bench_mdgan(name: str) -> dict:
         "steps_timed": steps,
         "wall_s": round(dt, 3),
     }
+    if moment_dtype != "float32":
+        out["moment_dtype"] = moment_dtype
     # cost fields from a LENGTH-1 chunk program (scan body == one round;
     # the cost model bills loop bodies once — see _utilization_fields)
     cost_prog = eng.chunk_fn(1).lower(st, shards, idxs[0][:1]).compile()
@@ -349,12 +353,17 @@ def main() -> None:
     p.add_argument("--sustained", action="store_true",
                    help="alias for --config sustained (times the real "
                         "trainer loop incl. all host overheads)")
+    p.add_argument("--moment_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="Adam moment storage dtype for the kernel configs "
+                        "(bfloat16 cuts the Adam HBM-traffic floor by a "
+                        "third; REPORT.md §2)")
     args = p.parse_args()
     if args.sustained:
         args.config = "sustained"
     if args.config == "all":
         for name in CONFIGS:
-            print(json.dumps(bench_mdgan(name)))
+            print(json.dumps(bench_mdgan(name, args.moment_dtype)))
         print(json.dumps(bench_standalone()))
         print(json.dumps(bench_sustained()))
     elif args.config == "standalone":
@@ -365,7 +374,7 @@ def main() -> None:
         for row in bench_scaling():
             print(json.dumps(row))
     else:
-        print(json.dumps(bench_mdgan(args.config)))
+        print(json.dumps(bench_mdgan(args.config, args.moment_dtype)))
 
 
 if __name__ == "__main__":

@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--beta_1", type=float, default=0.0)
     p.add_argument("--beta_2", type=float, default=0.999)
+    p.add_argument("--moment_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="storage dtype for BOTH Adam moments (mu and nu) of "
+                        "both nets. bfloat16 cuts the Adam HBM-traffic floor "
+                        "by a third (REPORT.md §2); updates still compute in "
+                        "float32. float32 (default) is the parity setting")
     p.add_argument("--n_samples", type=int, default=5)
     p.add_argument("--eval_n_samples", type=int, default=0,
                    help="standard-protocol FID/IS sample count (0 = off)")
@@ -122,9 +128,13 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         checkpoint_interval=args.checkpoint_interval,
         seed=args.seed,
         generator_opt=OptimizerConfig(lr=args.generator_lr, beta_1=args.beta_1,
-                                      beta_2=args.beta_2),
+                                      beta_2=args.beta_2,
+                                      mu_dtype=args.moment_dtype,
+                                      nu_dtype=args.moment_dtype),
         discriminator_opt=OptimizerConfig(lr=args.discriminator_lr,
-                                          beta_1=args.beta_1, beta_2=args.beta_2),
+                                          beta_1=args.beta_1, beta_2=args.beta_2,
+                                          mu_dtype=args.moment_dtype,
+                                          nu_dtype=args.moment_dtype),
         chunk_size=args.chunk_size,
         metrics_flush=args.metrics_flush,
         scan_unroll=args.scan_unroll,

@@ -28,10 +28,15 @@ class OptimizerConfig:
     beta_1: float = 0.0
     beta_2: float = 0.999
     eps: float = 1e-8  # torch.optim.Adam default
-    # dtype for the first Adam moment ("float32" | "bfloat16"). bfloat16
-    # halves mu HBM traffic (the step is Adam-bandwidth-bound at small batch,
-    # REPORT.md §2) at a small numerics cost; parity default is float32.
+    # Storage dtypes for the Adam moments ("float32" | "bfloat16"). The round
+    # is Adam-bandwidth-bound at small batch (REPORT.md §2: p/mu/nu
+    # read+write dominate HBM traffic), so bfloat16 moments cut the traffic
+    # floor by a third (24 -> 16 bytes/param/step). Moment *updates* still
+    # compute in float32 (the stored bf16 value promotes against the f32
+    # gradient); only the stored history rounds. Parity default is float32;
+    # the CLI exposes both together as ``--moment_dtype``.
     mu_dtype: str = "float32"
+    nu_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -213,12 +213,42 @@ def init_stacked_net(model: nn.Module, key: jax.Array, sample_input: jax.Array,
     return NetState(params=params, stats=stats, opt=tx.init(params))
 
 
+def _cast_nu(inner: optax.GradientTransformation, nu_dtype) -> optax.GradientTransformation:
+    """Store the second Adam moment in ``nu_dtype`` (optax only exposes
+    ``mu_dtype``).  The cast happens on the way INTO storage: ``inner.update``
+    still computes the fresh nu, the bias correction, and the update in
+    float32 (the stored low-precision value promotes against the float32
+    g**2 term), so only the carried history rounds.  State structure is
+    unchanged (``ScaleByAdamState``) — checkpoints, sharding specs, and the
+    shard_map twin all treat it as the same pytree."""
+
+    def init(params):
+        st = inner.init(params)
+        return st._replace(nu=jax.tree.map(lambda x: x.astype(nu_dtype), st.nu))
+
+    def update(updates, state, params=None):
+        updates, st = inner.update(updates, state, params)
+        return updates, st._replace(
+            nu=jax.tree.map(lambda x: x.astype(nu_dtype), st.nu))
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg) -> optax.GradientTransformation:
     """Adam matching torch.optim.Adam semantics (reference ``server.py:111-113``,
-    ``worker.py:97-99``)."""
+    ``worker.py:97-99``).  ``mu_dtype``/``nu_dtype`` = "bfloat16" store that
+    moment in bf16 (REPORT.md §2 traffic floor); float32 is the parity
+    default and keeps this literally ``optax.adam``."""
     mu_dtype = jnp.bfloat16 if getattr(cfg, "mu_dtype", "float32") == "bfloat16" else None
-    return optax.adam(cfg.lr, b1=cfg.beta_1, b2=cfg.beta_2, eps=cfg.eps,
-                      mu_dtype=mu_dtype)
+    if getattr(cfg, "nu_dtype", "float32") != "bfloat16":
+        return optax.adam(cfg.lr, b1=cfg.beta_1, b2=cfg.beta_2, eps=cfg.eps,
+                          mu_dtype=mu_dtype)
+    inner = _cast_nu(
+        optax.scale_by_adam(b1=cfg.beta_1, b2=cfg.beta_2, eps=cfg.eps,
+                            mu_dtype=mu_dtype),
+        jnp.bfloat16)
+    # optax.adam == chain(scale_by_adam, scale(-lr)); same state structure.
+    return optax.chain(inner, optax.scale(-cfg.lr))
 
 
 def make_fused_adam(cfg):

@@ -124,7 +124,8 @@ class FusedAdam(NamedTuple):
             rows = n // last if last else 0
             if (self.use_pallas and p.ndim >= 2 and last % LANE == 0
                     and rows >= 8 and p.dtype == jnp.float32
-                    and mu.dtype == jnp.float32):
+                    and mu.dtype == jnp.float32
+                    and nu.dtype == jnp.float32):
                 shape2 = (rows, last)
                 p2, mu2, nu2 = _leaf_update_pallas(
                     g.astype(p.dtype).reshape(shape2), p.reshape(shape2),
@@ -135,11 +136,13 @@ class FusedAdam(NamedTuple):
                 new_nu.append(nu2.reshape(p.shape))
             else:
                 p2, mu2, nu2 = _leaf_update_jnp(
-                    g.astype(p.dtype), p, mu.astype(p.dtype), nu, scalars,
+                    g.astype(p.dtype), p, mu.astype(p.dtype),
+                    nu.astype(p.dtype), scalars,
                     self.b1, self.b2, self.eps)
                 new_p.append(p2)
-                new_mu.append(mu2.astype(mu.dtype))  # honor mu_dtype (optax parity)
-                new_nu.append(nu2)
+                # honor mu_dtype / nu_dtype (optax storage-cast parity)
+                new_mu.append(mu2.astype(mu.dtype))
+                new_nu.append(nu2.astype(nu.dtype))
 
         import optax
 

@@ -152,6 +152,42 @@ def test_mu_dtype_bf16_option():
     assert tx32.init(params)[0].mu["w"].dtype == jnp.float32
 
 
+def test_moment_dtype_bf16_tracks_f32_trajectory():
+    """bfloat16 mu+nu storage: correct dtypes, identical state STRUCTURE to
+    optax.adam, and a few Adam steps stay within bf16 rounding of the f32
+    trajectory (updates compute in f32; only the carried moments round)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mdgan_tpu.core.config import OptimizerConfig
+    from mdgan_tpu.engine.state import make_optimizer
+
+    params = {"w": jnp.ones((8, 128)) * 0.1, "b": jnp.zeros((128,))}
+    tx16 = make_optimizer(OptimizerConfig(mu_dtype="bfloat16", nu_dtype="bfloat16"))
+    tx32 = make_optimizer(OptimizerConfig())
+    st16, st32 = tx16.init(params), tx32.init(params)
+    assert st16[0].mu["w"].dtype == jnp.bfloat16
+    assert st16[0].nu["w"].dtype == jnp.bfloat16
+    assert (jax.tree.structure(st16) == jax.tree.structure(st32))
+
+    import optax
+
+    p16, p32 = params, params
+    for step in range(5):
+        g = jax.tree.map(
+            lambda x, k=step: 0.01 * jnp.cos(x * (k + 1.0)), params)
+        u16, st16 = tx16.update(g, st16, p16)
+        u32, st32 = tx32.update(g, st32, p32)
+        p16 = optax.apply_updates(p16, u16)
+        p32 = optax.apply_updates(p32, u32)
+        assert st16[0].nu["w"].dtype == jnp.bfloat16  # dtype stable across steps
+    for a, b in zip(jax.tree.leaves(p16), jax.tree.leaves(p32)):
+        assert a.dtype == jnp.float32  # params stay full precision
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-5)
+
+
 def _idx_bytes(arr: np.ndarray) -> bytes:
     """Serialize an array in MNIST idx format (builtin._read_idx's inverse)."""
     import struct

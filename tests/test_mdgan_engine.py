@@ -59,6 +59,34 @@ def test_chunk_runs_and_losses_finite():
     assert delta > 0
 
 
+def test_chunk_bf16_moments_trains_and_stores_bf16():
+    """``--moment_dtype bfloat16`` through the whole engine: Adam moments of
+    BOTH nets live in bf16 across a chunk, params stay f32, losses finite,
+    and the trajectory stays near the f32-moment run."""
+    opt16 = OptimizerConfig(mu_dtype="bfloat16", nu_dtype="bfloat16")
+    eng16, shards, cfg = make_engine(n=4, generator_opt=opt16,
+                                     discriminator_opt=opt16)
+    eng32, _, _ = make_engine(n=4)
+    sampler = ShardSampler(4, shards.shape[1], cfg.batch_size, seed=0)
+    idx = jnp.asarray(sampler.next_chunk(cfg.chunk_size))
+
+    st16 = eng16.init_state(seed=0)
+    for moment in (st16.g.opt[0].mu, st16.g.opt[0].nu, st16.d.opt[0].mu,
+                   st16.d.opt[0].nu):
+        assert all(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(moment))
+    st16, m16 = eng16.chunk_fn(cfg.chunk_size)(st16, shards, idx)
+    assert all(l.dtype == jnp.bfloat16
+               for l in jax.tree.leaves(st16.g.opt[0].nu))
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(st16.g.params))
+    assert np.all(np.isfinite(np.asarray(m16["mean_d_loss"])))
+
+    st32 = eng32.init_state(seed=0)
+    st32, m32 = eng32.chunk_fn(cfg.chunk_size)(st32, shards, idx)
+    np.testing.assert_allclose(np.asarray(m16["mean_d_loss"]),
+                               np.asarray(m32["mean_d_loss"]),
+                               rtol=0.1, atol=0.05)
+
+
 def test_chunk_x_eval_is_pre_update_round_output():
     """The chunk's ``x_eval`` must be the images generated DURING its final
     round by the PRE-update generator — reference eval semantics

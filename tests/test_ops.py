@@ -52,6 +52,38 @@ def test_fused_adam_matches_optax(b1, b2):
                 rtol=1e-6, atol=1e-8)
 
 
+def test_fused_adam_matches_optax_bf16_moments():
+    """With bfloat16-stored moments (``--moment_dtype bfloat16``) the fused
+    path must honor the storage dtypes and track the optax wrapper within
+    bf16 rounding (both compute the update in f32, but they round the
+    carried bf16 products at slightly different points)."""
+    from mdgan_tpu.core.config import OptimizerConfig
+    from mdgan_tpu.engine.state import make_optimizer
+
+    lr, b1, b2, eps = 2e-4, 0.0, 0.999, 1e-8
+    specs = [("conv", (4, 4, 64, 128)), ("bn_scale", (256,)), ("odd", (37, 3))]
+    params = _random_tree(jax.random.key(0), specs)
+    tx = make_optimizer(OptimizerConfig(lr=lr, beta_1=b1, beta_2=b2, eps=eps,
+                                        mu_dtype="bfloat16",
+                                        nu_dtype="bfloat16"))
+    opt = tx.init(params)
+    fused = FusedAdam(lr=lr, b1=b1, b2=b2, eps=eps)
+
+    p_ref, o_ref = dict(params), opt
+    p_fused, o_fused = dict(params), opt
+    for step in range(3):
+        grads = _random_tree(jax.random.fold_in(jax.random.key(1), step), specs)
+        updates, o_ref = tx.update(grads, o_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, updates)
+        p_fused, o_fused = fused.update_in_place(grads, o_fused, p_fused)
+        for name in p_ref:
+            assert o_fused[0].mu[name].dtype == jnp.bfloat16
+            assert o_fused[0].nu[name].dtype == jnp.bfloat16
+            np.testing.assert_allclose(
+                np.asarray(p_fused[name]), np.asarray(p_ref[name]),
+                rtol=2e-2, atol=2e-6, err_msg=f"{name} step {step}")
+
+
 def test_fused_adam_inside_scan():
     """Usable under lax.scan (the engine's chunked step)."""
     lr = 1e-3

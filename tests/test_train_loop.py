@@ -226,6 +226,7 @@ def test_cli_flag_surface():
         "--local_epochs", "3", "--batch_size", "7", "--log_interval", "9",
         "--generator_lr", "1e-3", "--discriminator_lr", "2e-3",
         "--iid", "0", "--seed", "42", "--beta_1", "0.5", "--beta_2", "0.9",
+        "--moment_dtype", "bfloat16",
     ])
     cfg = config_from_args(args)
     assert cfg.train.epochs == 5
@@ -233,6 +234,11 @@ def test_cli_flag_surface():
     assert not cfg.data.iid
     assert cfg.train.generator_opt.beta_1 == 0.5
     assert cfg.train.discriminator_opt.lr == 2e-3
+    assert cfg.train.generator_opt.mu_dtype == "bfloat16"
+    assert cfg.train.generator_opt.nu_dtype == "bfloat16"
+    assert cfg.train.discriminator_opt.nu_dtype == "bfloat16"
+    # default is the float32 parity setting
+    assert config_from_args(p.parse_args([])).train.generator_opt.nu_dtype == "float32"
 
 
 @pytest.mark.slow
