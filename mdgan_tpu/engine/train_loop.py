@@ -255,9 +255,21 @@ class MDGANTrainer:
         background eval is still reading the snapshot.  The copy is a jitted
         on-device op dispatched asynchronously, so the host loop never blocks
         on a device->host transfer here (that cost moves to the eval thread,
-        which also saves re-uploading the params for ``sample_fn``)."""
+        which also saves re-uploading the params for ``sample_fn``).
+
+        Multi-host: the snapshot is all-gathered to a fully-replicated
+        layout instead of copied — the eval thread device_gets it on
+        process 0, which requires every shard addressable there.  This
+        matters under generator tensor parallelism (``--num_tensor``),
+        where ``g.params`` is sharded over the tensor axis and a plain
+        copy would span non-addressable devices.  All processes dispatch
+        the gather in lockstep (the caller already guarantees that)."""
         from mdgan_tpu.engine.state import NetState
 
+        if self._multihost:
+            params, stats = self._replicate(
+                (self.state.g.params, self.state.g.stats))
+            return NetState(params=params, stats=stats, opt=None)
         return NetState(params=self._copy_fn(self.state.g.params),
                         stats=self._copy_fn(self.state.g.stats), opt=None)
 
@@ -709,12 +721,15 @@ class MDGANTrainer:
         self.ckpt.wait_until_finished()
 
         # final weights exports (reference server.py:372-375, worker.py:289-293);
-        # multi-host: all processes join the gather, process 0 writes
+        # multi-host: all processes join the gathers, process 0 writes.  The
+        # generator gather matters under --num_tensor, where g.params is
+        # tensor-sharded and would otherwise span non-addressable devices.
         d_rep = self._replicate((self.state.d.params, self.state.d.stats))
+        g_rep = self._replicate((self.state.g.params, self.state.g.stats))
         if self._is_main:
             ckpt_lib.save_weights_only(
                 Path(tc.weights_dir) / "generator_final.npz",
-                self.state.g.params, self.state.g.stats)
+                g_rep[0], g_rep[1])
             d_params = jax.device_get(d_rep[0])
             d_stats = jax.device_get(d_rep[1])
             for r in range(self.n):

@@ -15,8 +15,15 @@ whole torch-semantics Adam step (reference ``torch.optim.Adam`` used at
 with params/moments aliased in-place (no extra allocation, minimal traffic).
 
 Leaves whose flattened size is not lane-aligned (or tiny) fall back to the
-identical jnp expression — the kernel is bit-compatible with optax.adam
-(verified in tests/test_ops.py), so the two paths mix freely within a tree.
+identical jnp expression — with float32 moments the kernel is bit-compatible
+with optax.adam (verified in tests/test_ops.py), so the two paths mix freely
+within a tree.  Under ``--moment_dtype bfloat16`` the two optimizer paths are
+close but NOT bit-identical (optax rounds ``b2*nu`` in bf16; this module
+upcasts the stored moment to f32 before the product — tests/test_ops.py pins
+rtol 2e-2 agreement), so a seeded bf16-moment trajectory reproduces only
+under the same optimizer selection (the opt-in FusedAdam vs the default
+optax); the Pallas kernel itself is additionally gated to f32 moments
+(``update_in_place``).
 """
 
 from __future__ import annotations

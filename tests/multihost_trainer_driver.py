@@ -64,7 +64,7 @@ def install_stubs() -> None:
     fid_mod.inception_score = stub_inception_score
 
 
-def run_trainer(out_dir: str, ckpt_dir: str) -> dict:
+def run_trainer(out_dir: str, ckpt_dir: str, extra_argv=()) -> dict:
     """Build + run the trainer with artifact dirs under ``out_dir`` (shared
     ``ckpt_dir``: orbax checkpoints are one logical store for all processes)."""
     from mdgan_tpu.cli.train import build_parser, config_from_args
@@ -73,7 +73,7 @@ def run_trainer(out_dir: str, ckpt_dir: str) -> dict:
     argv = TRAINER_ARGV + [
         "--log_dir", f"{out_dir}/logs", "--image_dir", f"{out_dir}/imgs",
         "--weights_dir", f"{out_dir}/weights", "--checkpoint_dir", ckpt_dir,
-    ]
+    ] + list(extra_argv)
     trainer = MDGANTrainer(config_from_args(build_parser().parse_args(argv)))
     summary = trainer.train()
     trainer.close()
@@ -81,10 +81,19 @@ def run_trainer(out_dir: str, ckpt_dir: str) -> dict:
 
 
 def main() -> None:
+    """argv: <process_id> <port> <out_dir> <ckpt_dir> [extra trainer flags...]
+
+    ``MDGAN_MH_DEVCOUNT`` (default 4) sets virtual CPU devices per process —
+    1 makes every mesh axis span processes, which is the layout that
+    exercises cross-process sharding in host-IO paths (e.g. a tensor-sharded
+    generator under ``--num_tensor``)."""
     process_id, port = int(sys.argv[1]), sys.argv[2]
     out_dir, ckpt_dir = sys.argv[3], sys.argv[4]
+    extra_argv = sys.argv[5:]
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    dev_count = int(os.environ.get("MDGAN_MH_DEVCOUNT", "4"))
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={dev_count}")
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
@@ -94,10 +103,10 @@ def main() -> None:
 
     assert maybe_initialize(f"localhost:{port}", num_processes=2,
                             process_id=process_id)
-    assert jax.process_count() == 2 and jax.device_count() == 8
+    assert jax.process_count() == 2 and jax.device_count() == 2 * dev_count
 
     install_stubs()
-    summary = run_trainer(out_dir, ckpt_dir)
+    summary = run_trainer(out_dir, ckpt_dir, extra_argv)
     Path(out_dir).mkdir(parents=True, exist_ok=True)
     (Path(out_dir) / "summary.json").write_text(json.dumps(summary))
     print(f"process {process_id}: OK", flush=True)

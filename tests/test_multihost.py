@@ -194,3 +194,68 @@ def test_two_process_full_trainer_matches_single_process(tmp_path, eight_devices
     assert (outs[0] / "weights" / "generator_final.npz").exists()
     assert (outs[0] / "weights" / "worker_8" / "discriminator.npz").exists()
     assert any(ckpt_dir.rglob("*"))
+
+
+@pytest.mark.slow
+def test_two_process_tensor_parallel_trainer(tmp_path, eight_devices,
+                                             monkeypatch):
+    """Multi-host + generator tensor parallelism: 2 processes x 1 device
+    each, ``--num_tensor 2`` — the tensor axis SPANS the processes, so the
+    generator's params are sharded across address spaces.  Every generator
+    host-IO path (eval-thread device_get, per-eval/final weight exports)
+    must gather through the lockstep all-gather first (train_loop
+    ``_snapshot_g`` / the final-export gather); a plain device-sharding copy
+    would raise 'spans non-addressable devices' on process 0.  Losses and
+    eval scores must still match a plain single-process run (tensor
+    parallelism is numerics-preserving)."""
+    import os as _os
+
+    import multihost_trainer_driver as drv
+
+    port = _free_port()
+    outs = [tmp_path / f"proc{i}" for i in range(2)]
+    ckpt_dir = tmp_path / "ckpt_shared"
+    env = dict(_os.environ, MDGAN_MH_DEVCOUNT="1")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(TRAINER_DRIVER), str(i), str(port),
+             str(outs[i]), str(ckpt_dir), "--num_tensor", "2"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=str(Path(__file__).parent.parent), env=env,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        logs.append(out)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"process {i} failed:\n{logs[i][-6000:]}"
+
+    # single-process plain reference (same config, no tensor axis), same
+    # content-sensitive eval stubs
+    import mdgan_tpu.metrics.fid as fid_mod
+
+    monkeypatch.setattr(fid_mod, "FIDTracker", drv.StubTracker)
+    monkeypatch.setattr(fid_mod, "inception_score", drv.stub_inception_score)
+    single_dir = tmp_path / "single"
+    want_summary = drv.run_trainer(str(single_dir), str(tmp_path / "ckpt_single"))
+
+    got_summary = json.loads((outs[0] / "summary.json").read_text())
+    assert got_summary["rounds"] == want_summary["rounds"] == 24
+    np.testing.assert_allclose(got_summary["final_mean_d_loss"],
+                               want_summary["final_mean_d_loss"],
+                               rtol=1e-4, atol=1e-5)
+    assert [e["epoch"] for e in got_summary["evals"]] == \
+        [e["epoch"] for e in want_summary["evals"]] == [0, 8, 16, 23]
+    for got, want in zip(got_summary["evals"], want_summary["evals"]):
+        np.testing.assert_allclose(got["fid"], want["fid"], rtol=1e-4)
+        np.testing.assert_allclose(got["is"], want["is"], rtol=1e-4)
+
+    # the generator host-IO paths all fired: per-eval exports + final export
+    for e in (0, 8, 16, 23):
+        assert (outs[0] / "weights" / f"generator_{e}.npz").exists()
+    assert (outs[0] / "weights" / "generator_final.npz").exists()
+    # process 1 wrote nothing
+    assert not (outs[1] / "logs").exists()
+    assert not (outs[1] / "weights").exists()
