@@ -322,19 +322,21 @@ def bench_sustained(rounds: int = 30000) -> dict:
     return out
 
 
-def bench_scaling() -> list:
+def bench_scaling(moment_dtype: str = "float32") -> list:
     """Worker-count scaling sweep on the CIFAR-10 kernel config.
 
     The reference's round time grows ~linearly in N (network-bound: its
     20-worker GCE run is 2.1x slower than 2-worker local). Here N multiplies
     on-device batch work until the MXU/HBM saturates — this sweep measures
-    that curve on one chip (REPORT.md §4 scaling shape).
+    that curve on one chip (REPORT.md §4 scaling shape).  ``moment_dtype``
+    reruns the sweep with bfloat16 Adam moments (REPORT.md §2's claimed
+    HBM-floor cut; rows then carry a ``moment_dtype`` field).
     """
     out = []
     try:
         for n_workers in (2, 4, 8, 16, 32):
             CONFIGS["_scaling"] = ("CIFAR10", n_workers, 10, 500, 6, 50000)
-            r = bench_mdgan("_scaling")
+            r = bench_mdgan("_scaling", moment_dtype)
             r["metric"] = "mdgan_cifar10_scaling_steps_per_sec"
             out.append(r)
     finally:
@@ -371,7 +373,7 @@ def main() -> None:
     elif args.config == "sustained":
         print(json.dumps(bench_sustained()))
     elif args.config == "scaling":
-        for row in bench_scaling():
+        for row in bench_scaling(args.moment_dtype):
             print(json.dumps(row))
     else:
         print(json.dumps(bench_mdgan(args.config, args.moment_dtype)))

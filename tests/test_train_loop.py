@@ -303,6 +303,39 @@ def test_standard_protocol_in_trainer(tmp_path, stub_inception):
             if "fid_standard" in e] == [12]
 
 
+@pytest.mark.slow
+def test_standard_protocol_in_standalone_trainer(tmp_path, stub_inception):
+    """The standalone baseline honors the same standard-protocol cadence as
+    the MD-GAN trainer (shared ``_standard_protocol_eval`` helper): every
+    K-th eval event by derived index, plus a forced final-round standard-only
+    point.  This symmetry is what makes the distributed-vs-standalone
+    convergence comparison (REPORT.md §5.2) apples-to-apples."""
+    import csv
+
+    # epochs=7, log_interval=2 -> 5-sample evals at rounds 0,2,4,6 (the
+    # reference standalone has no forced final eval; 6 is a cadence hit);
+    # K=2 -> standard at eval events 0,2 (rounds 0,4) + forced final (6)
+    argv = ["--mode", "standalone", "--epochs", "7", "--batch_size", "2",
+            "--chunk_size", "2", "--log_interval", "2",
+            "--checkpoint_interval", "0",
+            "--eval_n_samples", "16", "--eval_standard_interval", "2"]
+    tr = StandaloneTrainer(_cfg(tmp_path, argv))
+    summary = tr.train()
+    tr.close()
+    std = [e for e in summary["evals"] if "fid_standard" in e]
+    assert [e["epoch"] for e in std] == [0, 4, 6]
+    for rec in std:
+        assert np.isfinite(rec["fid_standard"])
+        assert "is_standard" in rec and "is_standard_std" in rec
+    # merged history: one record per round even when both protocols ran
+    assert [e["epoch"] for e in summary["evals"]] == [0, 2, 4, 6]
+    assert summary["evals"][0]["fid"] == 123.0  # 5-sample eval still present
+    rows = list(csv.DictReader(
+        open(tmp_path / "logs" / "SyntheticMNIST.standalone.logs.csv")))
+    by_epoch = {r["epoch"]: r for r in rows if r["fid_standard"]}
+    assert sorted(by_epoch) == ["0", "4", "6"]
+
+
 def test_batched_metrics_spans_non_overlapping(tmp_path, stub_inception):
     """Under the batched metrics fetch (metrics_flush > 1) the synthesized
     per-chunk windows must stay strictly ordered: consecutive server rows'
