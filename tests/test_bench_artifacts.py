@@ -219,6 +219,81 @@ def test_headline_flops_per_round_matches_hand_count():
     assert 8e9 < fields["flops_per_round"] < 9e10
 
 
+def test_straggler_seed2_r05_artifact():
+    """Second-seed control (VERDICT r4 #2): the sweep's 'within run-to-run
+    noise' claim must rest on a measured cross-seed spread."""
+    import math
+
+    path = BENCH / "STRAGGLER_sweep_seed2_r05.json"
+    if not path.exists():
+        pytest.skip("seed-2 straggler runs not recorded")
+    sweep = json.loads(path.read_text())
+    assert {"0", "0.3", "cross_seed_best_fid_spread"} <= set(sweep)
+    for rate in ("0", "0.3"):
+        row = sweep[rate]
+        assert row["seed"] == 12
+        assert math.isfinite(row["final_mean_d_loss"])
+        assert row["best_fid_standard"] > 0
+        assert 1.0 <= row["n_feedbacks_mean"] <= 8.0
+    spread = sweep["cross_seed_best_fid_spread"]
+    r04 = json.loads((BENCH / "STRAGGLER_sweep_r04.json").read_text())
+    for rate in ("0", "0.3"):
+        s = spread[rate]
+        assert s["seed11"] == r04[rate]["best_fid_standard"]
+        assert s["seed12"] == sweep[rate]["best_fid_standard"]
+        assert s["abs_spread"] == pytest.approx(
+            abs(s["seed11"] - s["seed12"]), abs=0.02)
+
+
+def test_bench_moments_bf16_r05():
+    """--moment_dtype bfloat16 vs float32, same process/window (VERDICT r4
+    #5): committed rows for the headline kernel + the scaling sweep; the
+    bytes cost model must show bf16 moments moving operand traffic."""
+    rows = _lines("BENCH_moments_bf16_r05.json")
+    head = [r for r in rows
+            if r["metric"] == "mdgan_cifar10_8worker_steps_per_sec"]
+    assert len(head) == 2
+    f32 = next(r for r in head if "moment_dtype" not in r)
+    bf16 = next(r for r in head if r.get("moment_dtype") == "bfloat16")
+    _check_row(f32)
+    _check_row(bf16)
+    # the cost model must bill bf16 moments fewer bytes per round
+    assert bf16["bytes_per_round"] < f32["bytes_per_round"]
+    scaling = [r for r in rows
+               if r["metric"] == "mdgan_cifar10_scaling_steps_per_sec"]
+    by_dtype = {}
+    for r in scaling:
+        by_dtype.setdefault(r.get("moment_dtype", "float32"), []).append(r)
+    assert [r["num_workers"] for r in by_dtype["float32"]] == [2, 4, 8, 16, 32]
+    assert [r["num_workers"] for r in by_dtype["bfloat16"]] == [2, 4, 8, 16, 32]
+    for a, b in zip(by_dtype["float32"], by_dtype["bfloat16"]):
+        assert b["bytes_per_round"] < a["bytes_per_round"]
+
+
+def test_profile_parts_r05():
+    """Committed per-component round breakdown (VERDICT r4 #4) backing the
+    REPORT §2 table: components present, totals coherent."""
+    path = BENCH / "PROFILE_parts_r05.json"
+    if not path.exists():
+        pytest.skip("profile breakdown not recorded")
+    prof = json.loads(path.read_text())
+    assert prof["config"]["workers"] == 8
+    comp = prof["components_us"]
+    for key in ("G forward (k*b imgs)", "G fwd+VJP+Adam",
+                "D region (train+feedback, 8 workers)", "feedback-only pass",
+                "FULL round (chunk_fn(1))"):
+        assert key in comp and comp[key] > 0
+    # isolation parts must not wildly exceed the fused full round (each part
+    # re-reads state the fused program keeps resident, so sum > full is
+    # expected — but each individual part is bounded by the full round x2)
+    full = comp["FULL round (chunk_fn(1))"]
+    for key, v in comp.items():
+        if key != "FULL round (chunk_fn(1))":
+            assert v < 2.5 * full, (key, v, full)
+    assert prof["derived_us"]["g_vjp_adam"] > 0
+    assert prof["derived_us"]["d_local_train"] > 0
+
+
 def test_family_benches_cover_every_model_family():
     rows = _lines("BENCH_families_r03.json")
     metrics = {r["metric"] for r in rows}
