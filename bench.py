@@ -41,6 +41,11 @@ CONFIGS = {
     "mnist4": ("MNIST", 4, 10, 500, 6, 60000),
     "celeba16": ("CelebA", 16, 10, 200, 4, 32000),
     "ffhq128_stylegan": ("FFHQ128", 8, 4, 20, 3, 4000),
+    # MXU-ceiling probe, not a parity config: the reference fixes b=10, which
+    # under-fills the systolic array (REPORT.md §2 — the parity round is
+    # bandwidth-bound on Adam state). b=256/worker shows what the same
+    # compiled program family does once conv batches fill the MXU.
+    "bigbatch": ("CIFAR10", 8, 256, 50, 4, 50000),
 }
 
 # (device_kind substring -> bf16 peak FLOP/s, HBM bytes/s), public per-chip
@@ -198,6 +203,11 @@ def bench_mdgan(name: str, moment_dtype: str = "float32") -> dict:
             "baseline_steps_per_sec": REFERENCE_STEPS_PER_SEC,
             "baseline_source": "reference 2-worker local run, median 0.131 s/round (BASELINE.md)",
         })
+    elif name == "bigbatch":
+        # distinct metric name: the f-string above would collide with the
+        # headline (same dataset / worker count, different batch)
+        out["metric"] = (f"mdgan_{dataset.lower()}_{n_workers}worker"
+                         f"_b{batch}_steps_per_sec")
     return out
 
 

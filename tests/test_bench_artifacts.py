@@ -270,6 +270,23 @@ def test_bench_moments_bf16_r05():
         assert b["bytes_per_round"] < a["bytes_per_round"]
 
 
+def test_bench_bigbatch_r05():
+    """MXU-ceiling probe (REPORT §2): b=256/worker on the headline model.
+    Not a parity config — it exists to show the parity round's 21.6 % MFU is
+    the b=10 workload's ceiling, not the framework's."""
+    (row,) = _lines("BENCH_bigbatch_r05.json")
+    _check_row(row, "mdgan_cifar10_8worker_b256_steps_per_sec")
+    assert row["batch_size"] == 256
+    _check_utilization(row)
+    head = [json.loads(l) for l in
+            (BENCH / "BENCH_headline_r04.json").read_text().splitlines()]
+    # the probe must beat the parity config on both per-chip throughput and
+    # MFU, and relax the analytical HBM pressure — the §2 roofline story
+    assert row["images_per_sec_per_chip"] > head[0]["images_per_sec_per_chip"]
+    assert row["mfu"] > head[0]["mfu"]
+    assert row["hbm_util_analytical"] < head[0]["hbm_util_analytical"]
+
+
 def test_profile_parts_r05():
     """Committed per-component round breakdown (VERDICT r4 #4) backing the
     REPORT §2 table: components present, totals coherent."""
