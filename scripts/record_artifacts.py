@@ -277,17 +277,21 @@ def record_straggler_sweep(root: Path) -> None:
     print(f"== straggler sweep figures -> {keep / 'figures'}", flush=True)
 
 
-def record_convergence(root: Path) -> None:
+def record_convergence(root: Path, only: str | None = None) -> None:
     """The reference's central convergence experiment, reproduced in-framework
-    (VERDICT r4 #1): matched-seed standalone vs MD-GAN at N=2 — both 30,000
-    rounds, seed 42, the standard 10k-sample FID/IS protocol at the SAME
-    cadence as the committed N=8 headline run (every 10th eval event + final
-    round) — so the three runs' ``fid_standard`` series are directly
-    comparable.  The reference ran exactly this comparison and concluded
-    distributed converges worse/slower per round
-    (``/root/reference/report/sections/discussion.tex:36-43``; experiment
-    inventory ``results.tex:4``).  Committed under ``artifacts/convergence/``
-    with ``analyze --compare`` overlay figures spanning all three runs.
+    (VERDICT r4 #1): matched-seed standalone vs MD-GAN at N=2 and N=4 —
+    30,000 rounds each, seed 42, the standard 10k-sample FID/IS protocol at
+    the SAME cadence as the committed N=8 headline run (every 10th eval event
+    + final round) — so all the runs' ``fid_standard`` series are directly
+    comparable.  The reference ran exactly this comparison (standalone vs
+    N∈{4,10,20,40}) and concluded distributed converges worse/slower per
+    round (``/root/reference/report/sections/discussion.tex:36-43``;
+    experiment inventory ``results.tex:4``).  Committed under
+    ``artifacts/convergence/`` with ``analyze --compare`` overlay figures
+    spanning every run.
+
+    ``only`` re-records a single leg; the comparison summary and figures are
+    always regenerated from every leg whose CSV exists on disk.
     """
     import gzip
 
@@ -309,8 +313,17 @@ def record_convergence(root: Path) -> None:
             "--seed", "42", "--checkpoint_interval", "0",
             "--eval_n_samples", "10000", "--eval_standard_interval", "10",
         ],
+        "cifar10_w4_r30000": [
+            "--mode", "mdgan", "--dataset", "CIFAR10", "--num_workers", "4",
+            "--epochs", "30000", "--batch_size", "10",
+            "--swap_interval", "5000", "--log_interval", "300",
+            "--seed", "42", "--checkpoint_interval", "0",
+            "--eval_n_samples", "10000", "--eval_standard_interval", "10",
+        ],
     }
     for name, argv in runs.items():
+        if only is not None and name != only:
+            continue
         out = base / name
         logs, imgs, weights = (_fresh(out / "logs"), _fresh(out / "images"),
                                _fresh(out / "weights"))
@@ -336,21 +349,23 @@ def record_convergence(root: Path) -> None:
                 p.unlink()
         print(f"== convergence {name} recorded", flush=True)
 
-    # cross-run overlays: standalone vs w2 vs the committed w8 headline
+    # cross-run overlays: standalone vs w2/w4 vs the committed w8 headline
     csvs = [
         base / "cifar10_standalone_r30000" / "logs" / "CIFAR10.standalone.logs.csv",
         base / "cifar10_w2_r30000" / "logs" / "mdgan.2.CIFAR10.server.logs.csv",
+        base / "cifar10_w4_r30000" / "logs" / "mdgan.4.CIFAR10.server.logs.csv",
         root / "artifacts" / "headline" / "cifar10_w8_r30000" / "logs"
         / "mdgan.8.CIFAR10.server.logs.csv",
     ]
     plot_compare([p for p in csvs if p.exists()], base / "figures")
 
-    # machine-readable comparison summary (pinned by tests): the three
+    # machine-readable comparison summary (pinned by tests): every leg's
     # fid_standard series side by side
     from mdgan_tpu.obs import spans as spans_lib
 
     comp = {}
-    for label, p in zip(("standalone", "mdgan_w2", "mdgan_w8"), csvs):
+    for label, p in zip(("standalone", "mdgan_w2", "mdgan_w4", "mdgan_w8"),
+                        csvs):
         if not p.exists():
             continue
         rows = spans_lib.read_spans(p)

@@ -71,12 +71,36 @@ def test_mdgan_w2_run():
     assert len(w2) == EPOCHS
 
 
+def test_mdgan_w4_run():
+    out = CONV / "cifar10_w4_r30000"
+    if not out.exists():
+        pytest.skip("w4 leg not recorded")
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["rounds"] == EPOCHS
+    assert np.isfinite(summary["final_mean_d_loss"])
+    rows = spans_lib.read_spans(out / "logs" / "mdgan.4.CIFAR10.server.logs.csv")
+    series = _std_series(rows)
+    assert [e for e, _ in series] == STD_ROUNDS
+    assert all(np.isfinite(v) for _, v in series)
+    swaps = [r for r in rows if r.get("swap") in (True, "True", 1.0)]
+    assert len(swaps) == 5  # rounds 5000..25000
+    w1 = spans_lib.read_spans(out / "logs" / "mdgan.4.CIFAR10.worker.1.logs.csv")
+    assert len(w1) == EPOCHS
+    for wid in (2, 3, 4):
+        wk = spans_lib.read_spans(
+            out / "logs" / f"mdgan.4.CIFAR10.worker.{wid}.logs.csv.gz")
+        assert len(wk) == EPOCHS
+
+
 def test_comparison_summary_and_figures():
     comp_path = CONV / "COMPARISON.json"
     if not comp_path.exists():
         pytest.skip("comparison summary not recorded")
     comp = json.loads(comp_path.read_text())
-    assert set(comp) == {"standalone", "mdgan_w2", "mdgan_w8"}
+    expected = {"standalone", "mdgan_w2", "mdgan_w8"}
+    if (CONV / "cifar10_w4_r30000").exists():
+        expected.add("mdgan_w4")
+    assert set(comp) == expected
     for label, rec in comp.items():
         assert [e for e, _ in rec["fid_standard"]] == STD_ROUNDS
         assert rec["best_fid_standard"] > 0
