@@ -383,11 +383,13 @@ def record_convergence(root: Path, only: str | None = None) -> None:
     print(f"== convergence comparison -> {base / 'COMPARISON.json'}", flush=True)
 
 
-def record_straggler_seed2(root: Path) -> None:
-    """Second-seed control for the straggler sweep (VERDICT r4 #2): rates 0
-    and 0.3 re-recorded with seed 12 (the r04 sweep used seed 11), identical
+def record_straggler_seed2(root: Path,
+                           rates: tuple = ("0", "0.3")) -> None:
+    """Second-seed control for the straggler sweep (VERDICT r4 #2): drop
+    rates re-recorded with seed 12 (the r04 sweep used seed 11), identical
     protocol — the cross-seed best-FID spread is the run-to-run noise band
-    REPORT §5.1's 'within run-to-run noise' claim must quote.
+    REPORT §5.1's 'within run-to-run noise' claim must quote.  Merges into
+    any existing artifact so rates can be recorded incrementally.
     -> artifacts/bench/STRAGGLER_sweep_seed2_r05.json
     """
     import numpy as np
@@ -395,9 +397,10 @@ def record_straggler_seed2(root: Path) -> None:
     from mdgan_tpu.obs import spans as spans_lib
 
     out = root / "artifacts" / "bench"
+    artifact = out / "STRAGGLER_sweep_seed2_r05.json"
     n_workers = 8
-    sweep = {}
-    for rate in ("0", "0.3"):
+    sweep = json.loads(artifact.read_text()) if artifact.exists() else {}
+    for rate in rates:
         scratch = Path(f"/tmp/straggler_r05_s12_{rate}")
         logs, imgs, weights = (_fresh(scratch / "logs"), _fresh(scratch / "imgs"),
                                _fresh(scratch / "weights"))
@@ -431,16 +434,16 @@ def record_straggler_seed2(root: Path) -> None:
         )
         print(f"== straggler seed2 rate={rate}: {sweep[rate]}", flush=True)
 
-    # cross-seed spread vs the committed seed-11 sweep
+    # cross-seed spread vs the committed seed-11 sweep, over every recorded
+    # rate (incremental recordings extend it)
     r04 = json.loads((out / "STRAGGLER_sweep_r04.json").read_text())
-    spread = {}
-    for rate in ("0", "0.3"):
+    spread = sweep.get("cross_seed_best_fid_spread", {})
+    for rate in sorted(k for k in sweep if k != "cross_seed_best_fid_spread"):
         a, b = r04[rate]["best_fid_standard"], sweep[rate]["best_fid_standard"]
         spread[rate] = dict(seed11=a, seed12=b, abs_spread=round(abs(a - b), 2),
                             rel_spread=round(abs(a - b) / min(a, b), 3))
     sweep["cross_seed_best_fid_spread"] = spread
-    (out / "STRAGGLER_sweep_seed2_r05.json").write_text(
-        json.dumps(sweep, indent=1) + "\n")
+    artifact.write_text(json.dumps(sweep, indent=1) + "\n")
     print(f"== straggler seed2 sweep -> spread {spread}", flush=True)
 
 

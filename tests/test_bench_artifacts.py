@@ -228,16 +228,22 @@ def test_straggler_seed2_r05_artifact():
     if not path.exists():
         pytest.skip("seed-2 straggler runs not recorded")
     sweep = json.loads(path.read_text())
-    assert {"0", "0.3", "cross_seed_best_fid_spread"} <= set(sweep)
-    for rate in ("0", "0.3"):
+    rates = ("0", "0.3", "0.6", "0.9")
+    assert set(sweep) == set(rates) | {"cross_seed_best_fid_spread"}
+    for rate in rates:
         row = sweep[rate]
         assert row["seed"] == 12
         assert math.isfinite(row["final_mean_d_loss"])
         assert row["best_fid_standard"] > 0
         assert 1.0 <= row["n_feedbacks_mean"] <= 8.0
+    # the accepted-count trend must hold under the second seed too
+    assert sweep["0"]["n_feedbacks_mean"] == 8.0
+    assert (sweep["0.3"]["n_feedbacks_mean"]
+            > sweep["0.6"]["n_feedbacks_mean"]
+            > sweep["0.9"]["n_feedbacks_mean"])
     spread = sweep["cross_seed_best_fid_spread"]
     r04 = json.loads((BENCH / "STRAGGLER_sweep_r04.json").read_text())
-    for rate in ("0", "0.3"):
+    for rate in rates:
         s = spread[rate]
         assert s["seed11"] == r04[rate]["best_fid_standard"]
         assert s["seed12"] == sweep[rate]["best_fid_standard"]
