@@ -77,7 +77,7 @@ def _standard_protocol_eval(engine, tracker, full_data, tc, key, epoch: int, g):
     256-image batches, one fold of ``key`` per batch) vs ``eval_n_samples``
     reals (one seeded without-replacement draw, fixed for the run), IS over
     10 splits.  The identical protocol on both trainers is what makes the
-    distributed-vs-standalone convergence comparison (REPORT.md §5.2,
+    distributed-vs-standalone convergence comparison (REPORT.md §5,
     reference ``discussion.tex:36-43``) apples-to-apples: same real set
     (rng(1) draw over the same dataset), same fake count, same tracker math.
     Returns ``(tracker, result)`` — the tracker is lazily built on first use.
