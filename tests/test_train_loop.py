@@ -218,6 +218,44 @@ def test_standalone_trainer(tmp_path, stub_inception):
     assert (tmp_path / "imgs" / "fake_samples_0.png").exists()
 
 
+def test_trainer_consumes_real_format_data_dir(tmp_path, stub_inception):
+    """End-to-end: the full MD-GAN trainer reads REAL-format dataset files
+    from ``--data_dir`` (reference ``CIFAR10.py:16-73`` pickle batches) —
+    not the synthetic fallback — without any code changes.  Hardens the
+    claim REPORT §6 makes about the committed synthetic-pixel runs: a user
+    with the real files gets them end-to-end through the same CLI path."""
+    import pickle
+
+    d = tmp_path / "data" / "cifar-10-batches-py"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    raws = []
+    for i in range(1, 6):
+        raw = rng.integers(0, 256, (10, 3072), dtype=np.uint8)
+        raws.append(raw)
+        with open(d / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": raw, b"labels": list(range(10))}, f)
+    expected = (np.concatenate(raws).reshape(-1, 3, 32, 32)
+                .transpose(0, 2, 3, 1))
+
+    cfg = _cfg(tmp_path, [
+        "--mode", "mdgan", "--dataset", "CIFAR10",
+        "--data_dir", str(tmp_path / "data"),
+        "--num_workers", "2", "--epochs", "6", "--batch_size", "4",
+        "--swap_interval", "0", "--log_interval", "3", "--chunk_size", "3",
+    ])
+    trainer = MDGANTrainer(cfg)
+    try:
+        # the trainer's dataset IS the fixture's pixels (50 rows), proving
+        # the real-file branch was taken over the synthetic fallback
+        np.testing.assert_array_equal(trainer.full_data, expected)
+        summary = trainer.train()
+        assert summary["rounds"] == 6
+        assert np.isfinite(summary["final_mean_d_loss"])
+    finally:
+        trainer.close()
+
+
 def test_cli_flag_surface():
     """Reference CLI flags must exist (``bootstrap.py:30-51``)."""
     p = build_parser()
