@@ -526,12 +526,14 @@ class MDGANTrainer:
             if not (isinstance(swap_s, float) and isinstance(swap_e, float)):
                 swap_s = swap_e = t1
             # the swap lands on the chunk's LAST synthesized round, whose
-            # span is [t1-dt, t1]; a measured swap window longer than one
-            # synthesized round would start before that row's own epoch
-            # span, so clamp the worker-row copy to the row (the server row
-            # keeps the full measured duration)
-            swap_s = max(swap_s, t1 - dt)
-            swap_e = max(swap_e, swap_s)
+            # span is [t1-dt, t1]; the measured window can extend past the
+            # row on BOTH sides (longer than one synthesized round, or — the
+            # host measures the swap and the batch fetch on different
+            # threads — timestamped after the fetch window under scheduler
+            # skew), so clamp the worker-row copy to the row on both edges
+            # (the server row keeps the full measured duration)
+            swap_s = min(max(swap_s, t1 - dt), t1)
+            swap_e = min(max(swap_e, swap_s), t1)
         losses = d_losses.astype(float)
         for r in range(self.n):
             rows = []
