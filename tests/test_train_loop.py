@@ -30,6 +30,14 @@ def stub_inception(monkeypatch):
 
     monkeypatch.setattr(fid_mod, "FIDTracker", FakeTracker)
     monkeypatch.setattr(fid_mod, "inception_score", lambda imgs, splits=1: (2.0, 0.0))
+    # with the FID stack stubbed, inception never runs in these tests — but
+    # a REAL inception test earlier in the same pytest process leaves the
+    # module cache populated, which would leak into summary.json's
+    # feature_source stamp; reset it for the test (monkeypatch restores the
+    # warm cache afterwards)
+    from mdgan_tpu.metrics import inception as inception_mod
+
+    monkeypatch.setattr(inception_mod, "_CACHED", None)
 
 
 def _cfg(tmp_path, argv):
